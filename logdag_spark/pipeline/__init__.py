@@ -1,0 +1,9 @@
+from logdag_spark.pipeline.parse import parse_tokens, parse_tokens_pandas  # noqa: F401
+from logdag_spark.pipeline.enrich import enrich  # noqa: F401
+from logdag_spark.pipeline.route import route  # noqa: F401
+from logdag_spark.pipeline.aggregate import (  # noqa: F401
+    binarize,
+    discretize,
+    fill_bins,
+    rebin,
+)

@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for this engine.
+
+Defaults target local[N] testing but every knob is the one you would set
+on a 1000-executor cluster too: AQE on (runtime re-plan + skew-join),
+shuffle partitions sized explicitly, Arrow enabled for the pandas-UDF
+kernels, UTC session timezone so results compare bit-exact against the
+DuckDB oracle and the reference's naive-UTC storage convention
+(/root/reference/logdag/source/sqlts.py:14-51).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "logdag_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores=None`` -> ``local[*]``.  ``shuffle_partitions`` defaults to the
+    core count: on local mode 200 default partitions just adds task-launch
+    overhead; on a real cluster you would size this to ~2-3x total cores
+    and let AQE coalesce.
+    """
+    master = f"local[{cores}]" if cores else "local[*]"
+    n_shuffle = shuffle_partitions or cores or (os.cpu_count() or 8)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
