@@ -193,11 +193,24 @@ def gen_tokens(
     def uniform(*cols) -> F.Column:
         return F.pmod(F.xxhash64(*cols), F.lit(1_000_000_000)) / 1e9
 
+    # "poisson" streams are BURSTY: events cluster around a few burst
+    # centers per stream.  Real syslog is bursty, and the reference's
+    # remove_linear filter (filter_log.py:162-185) is designed to drop
+    # constant-rate events — a homogeneous process would (correctly) be
+    # filtered out, taking the injected causal pairs with it.
+    n_bursts, burst_w = 4, 7200.0  # 4 clusters, ±1h spread
+    gid_eff = F.when(F.col("kind") == "corr_b", F.col("gid_cause")).otherwise(
+        F.col("gid")
+    )
+    b = F.pmod(F.xxhash64(F.lit("burst"), "host", gid_eff, "idx"), F.lit(n_bursts))
+    center = uniform(F.lit("bc"), "host", gid_eff, b) * term_s
+    jitter_off = (uniform(F.lit("bo"), "host", gid_eff, "idx") - 0.5) * burst_w
+    bursty = F.least(F.greatest(center + jitter_off, F.lit(0.0)), F.lit(term_s - 1.0))
+
     u_own = uniform(F.lit("ts"), "host", "gid", "idx")
-    u_cause = uniform(F.lit("ts"), "host", "gid_cause", "idx")
     off_s = (
-        F.when(F.col("kind") == "poisson", u_own * term_s)
-        .when(F.col("kind") == "corr_b", u_cause * term_s + F.col("lag_s"))
+        F.when(F.col("kind") == "poisson", bursty)
+        .when(F.col("kind") == "corr_b", bursty + F.col("lag_s"))
         .otherwise(
             F.col("idx") * F.col("period_s") + (u_own - 0.5) * 2 * F.col("jitter_s")
         )
