@@ -1,0 +1,128 @@
+"""End-to-end pipeline orchestration.
+
+parse -> enrich -> route -> [filter_series] -> aggregate -> units ->
+correlate (pc-corr) | PC kernel (pc) -> dag_edges + event_dim.
+
+Mirrors the reference's two entry points in one lazy plan chain:
+``make-evdb-log-all`` (/root/reference/logdag/source/__main__.py:27-43)
+and ``make-dag`` (/root/reference/logdag/__main__.py:45-68).  With a
+Catalog, every stage checkpoints (resume + lineage); without one the
+whole pipeline is a single Catalyst plan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logdag_spark.config import PipelineConfig
+from logdag_spark.io.catalog import Catalog
+from logdag_spark.pipeline.aggregate import discretize
+from logdag_spark.pipeline.correlate import (
+    assign_units,
+    event_dim,
+    fisherz_edges,
+    make_unit_hosts,
+    merge_syncevents,
+    pairwise_corr,
+    unit_matrix,
+    unit_nbins_df,
+)
+from logdag_spark.pipeline.enrich import enrich
+from logdag_spark.pipeline.parse import parse_tokens, parse_tokens_pandas
+from logdag_spark.pipeline.pc import pc_edges
+from logdag_spark.pipeline.route import route
+from logdag_spark.pipeline.series_filter import filter_series
+
+
+@dataclass
+class PipelineResult:
+    routed: DataFrame
+    binned: DataFrame
+    evdim: DataFrame
+    matrix: DataFrame
+    edges: DataFrame
+
+    def sink_counts(self) -> DataFrame:
+        """Per-sink aggregate counts — a required parity metric
+        (BASELINE.json; reference get_count /root/reference/logdag/source/sqlts.py:298-300)."""
+        return (
+            self.routed.groupBy("measure")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("val").alias("total_val"),
+                F.countDistinct("host", "key").alias("n_series"),
+            )
+            .orderBy("measure")
+        )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    tokens: DataFrame,
+    host_meta: DataFrame,
+    template_dim: DataFrame,
+    dt_range: tuple[datetime, datetime],
+    cfg: PipelineConfig | None = None,
+    catalog: Catalog | None = None,
+    use_pandas_parse: bool = False,
+    apply_filters: bool = True,
+) -> PipelineResult:
+    cfg = cfg or PipelineConfig()
+    parse = parse_tokens_pandas if use_pandas_parse else parse_tokens
+
+    def ck(df: DataFrame, name: str, partition_by=None) -> DataFrame:
+        if catalog is None:
+            return df
+        return catalog.write(df, name, partition_by=partition_by, stage=name)
+
+    parsed = parse(tokens, template_dim)
+    enriched = enrich(parsed, host_meta, template_dim)
+    routed = route(enriched)
+    routed = ck(routed.withColumn("day", F.to_date("ts")), "events_ts",
+                partition_by=["measure", "day"]) if catalog else routed
+    if apply_filters and cfg.filter_rules:
+        filtered = filter_series(
+            routed.where(F.col("measure") != "unparsed"), dt_range, cfg
+        )
+    else:
+        filtered = routed.where(F.col("measure") != "unparsed")
+
+    binned = discretize(
+        filtered, dt_range, cfg.bin_size, cfg.ci_bin_method,
+        cfg.bin_diff if cfg.ci_bin_method != "sequential" else None,
+    )
+    binned = ck(binned, "binned")
+
+    uh = make_unit_hosts(spark, dt_range, cfg, host_meta)
+    long = assign_units(binned, uh)
+    evdim = event_dim(long)
+    mat = unit_matrix(long, evdim)
+    if cfg.merge_syncevent:
+        mat, evdim = merge_syncevents(mat, evdim)
+    evdim = ck(evdim, "event_dim")
+    mat = ck(mat, "unit_matrix")
+
+    nb = unit_nbins_df(
+        spark, uh, cfg.bin_size, cfg.ci_bin_method,
+        cfg.bin_diff if cfg.ci_bin_method != "sequential" else None,
+    )
+    if cfg.cause_algorithm == "pc-corr":
+        edges = fisherz_edges(pairwise_corr(mat, nb), cfg.skeleton_threshold)
+    elif cfg.cause_algorithm == "pc":
+        unit_meta = {
+            r["unit"]: (r["dts"], int(r["n"]))
+            for r in uh.select("unit", "dts").distinct().join(nb, "unit").collect()
+        }
+        edges = pc_edges(
+            mat, unit_meta, cfg.bin_size,
+            ci_func=cfg.ci_func, alpha=cfg.skeleton_threshold,
+            max_depth=cfg.skeleton_depth, binarize=cfg.binarize or None,
+        )
+    else:
+        raise ValueError(f"unknown cause_algorithm {cfg.cause_algorithm!r}")
+    edges = ck(edges, "dag_edges")
+    return PipelineResult(routed=routed, binned=binned, evdim=evdim, matrix=mat, edges=edges)
