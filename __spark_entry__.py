@@ -1,38 +1,58 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` / ``oracle_sql()`` are defined in
+``logdag_spark/entry_queries.py`` — one entry per implemented operator
+from SURVEY.md §2, each oracle-checked against DuckDB at sf=0.01
+(Spark-only kernels record rows-only checks).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from logdag_spark.entry_queries import QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: tokens -> parse -> enrich -> route -> aggregate ->
+    Fisher-z DAG edges on the deterministic synthetic corpus (smoke scale),
+    returned with event identifiers."""
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from logdag_spark import fixtures as fx
+    from logdag_spark.config import PipelineConfig
+    from logdag_spark.fixtures.generator import DEFAULT_T0
+    from logdag_spark.operators.graphops import edges_with_nodes
+    from logdag_spark.pipeline.runner import run_pipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cfg = PipelineConfig(cause_algorithm="pc-corr", ci_bin_size="5m")
+    labeled = fx.gen_tokens(spark, scale=0.1)
+    res = run_pipeline(
+        spark,
+        fx.contract(labeled),
+        fx.host_meta(spark),
+        fx.template_dim(spark),
+        (DEFAULT_T0, DEFAULT_T0 + timedelta(hours=24)),
+        cfg,
+        apply_filters=False,
+    )
+    return edges_with_nodes(res.edges, res.evdim).select(
+        "unit", "src_id", "dst_id", "directed", F.round("weight", 6).alias("weight")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}

@@ -1,0 +1,1085 @@
+"""Driver-contract query surface: one entry per implemented operator
+(SURVEY.md §2) over the driver testdata tables, each with an ANSI-SQL
+DuckDB oracle (see ``__spark_entry__.py``).
+
+Conventions for exact value-hash parity with the oracle:
+* timestamps leave the query as bigint epoch seconds (``bin_s``),
+* every floating-point column is rounded to 6 decimals on both sides,
+* every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+from statistics import NormalDist
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from logdag_spark.operators.dedup import all_pairs_jaccard
+from logdag_spark.operators.similarity import brute_force_topk, cosine
+from logdag_spark.operators.text import (
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from logdag_spark.pipeline.aggregate import binarize, discretize, fill_bins, rebin
+
+T0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+T_END = datetime(2024, 1, 31, tzinfo=timezone.utc)
+RANGE = (T0, T_END)
+T0_S = int(T0.timestamp())
+TERM_S = int((T_END - T0).total_seconds())
+Z99 = NormalDist().inv_cdf(1 - 0.01 / 2)  # alpha = 0.01 two-sided
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # duckdb-written parquet surfaces TIMESTAMP_NTZ; normalize to TIMESTAMP
+    # (session TZ is UTC, so the wall-clock reading IS the UTC instant)
+    for f_ in df.schema.fields:
+        if f_.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn(f_.name, F.col(f_.name).cast("timestamp"))
+    return df
+
+
+def _events_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table in the routed-row shape (FIXTURES.md §4: user_id≈host,
+    event_type≈gid)."""
+    return _load(spark, sf_dir, "events").select(
+        F.lit("ev").alias("measure"),
+        F.col("user_id").cast("string").alias("host"),
+        F.col("event_type").alias("key"),
+        "ts",
+        F.lit(1.0).alias("val"),
+    )
+
+
+def _bin_s(col: str = "bin") -> F.Column:
+    return (F.unix_millis(F.col(col)) / 1000).cast("bigint").alias("bin_s")
+
+
+# ===================================================================== A2-A6
+
+
+def q_tumbling_count_1m(spark, sf_dir):
+    b = discretize(
+        _events_routed(spark, sf_dir), RANGE, timedelta(minutes=1),
+        keys=("key",),
+    )
+    return b.select(
+        F.col("key").alias("event_type"), _bin_s(), F.col("cnt").cast("bigint").alias("cnt")
+    ).orderBy("event_type", "bin_s")
+
+
+SQL_TUMBLING = f"""
+SELECT event_type,
+       {T0_S} + (((epoch_ms(ts) // 1000) - {T0_S}) // 60) * 60 AS bin_s,
+       count(*)::bigint AS cnt
+FROM events
+WHERE (epoch_ms(ts) // 1000) >= {T0_S} AND (epoch_ms(ts) // 1000) < {T0_S + TERM_S}
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_sliding_count_10m_5m(spark, sf_dir):
+    b = discretize(
+        _events_routed(spark, sf_dir), RANGE, timedelta(minutes=10),
+        method="slide", bin_diff=timedelta(minutes=5), keys=("key",),
+    )
+    return b.select(
+        F.col("key").alias("event_type"), _bin_s(), F.col("cnt").cast("bigint").alias("cnt")
+    )
+
+
+SQL_SLIDING = f"""
+WITH e AS (
+  SELECT event_type, (epoch_ms(ts) // 1000) - {T0_S} AS off
+  FROM events
+  WHERE (epoch_ms(ts) // 1000) >= {T0_S} AND (epoch_ms(ts) // 1000) < {T0_S + TERM_S}
+), x AS (
+  SELECT event_type, unnest([off // 300, off // 300 - 1]) AS i FROM e
+)
+SELECT event_type, {T0_S} + i * 300 AS bin_s, count(*)::bigint AS cnt
+FROM x
+WHERE i >= 0 AND i * 300 < {TERM_S}
+GROUP BY 1, 2
+"""
+
+
+def q_radius_count_30m(spark, sf_dir):
+    """Radius discretize: centers every 30m, width ±30m, first week only."""
+    rng = (T0, T0 + timedelta(days=7))
+    b = discretize(
+        _events_routed(spark, sf_dir), rng, timedelta(minutes=60),
+        method="radius", bin_diff=timedelta(minutes=30), keys=("key",),
+    )
+    return b.select(
+        F.col("key").alias("event_type"), _bin_s(), F.col("cnt").cast("bigint").alias("cnt")
+    )
+
+
+_WEEK_S = 7 * 86400
+SQL_RADIUS = f"""
+WITH e AS (
+  SELECT event_type, (epoch_ms(ts) // 1000) - {T0_S} AS off
+  FROM events
+  WHERE (epoch_ms(ts) // 1000) >= {T0_S} AND (epoch_ms(ts) // 1000) < {T0_S + _WEEK_S}
+), b AS (
+  SELECT i FROM generate_series(0, {_WEEK_S} // 1800) t(i)
+  WHERE 900 + i * 1800 < {_WEEK_S}
+)
+SELECT e.event_type, {T0_S} + 900 + b.i * 1800 AS bin_s, count(*)::bigint AS cnt
+FROM e JOIN b
+  ON e.off >= 900 + b.i * 1800 - 1800 AND e.off < 900 + b.i * 1800 + 1800
+GROUP BY 1, 2
+"""
+
+
+def q_binarize_1h(spark, sf_dir):
+    b = binarize(
+        discretize(_events_routed(spark, sf_dir), RANGE, timedelta(hours=1), keys=("key",))
+    )
+    return b.select(
+        F.col("key").alias("event_type"), _bin_s(), F.col("cnt").cast("int").alias("b")
+    )
+
+
+SQL_BINARIZE = f"""
+SELECT event_type,
+       {T0_S} + (((epoch_ms(ts) // 1000) - {T0_S}) // 3600) * 3600 AS bin_s,
+       1::int AS b
+FROM events
+WHERE (epoch_ms(ts) // 1000) >= {T0_S} AND (epoch_ms(ts) // 1000) < {T0_S + TERM_S}
+GROUP BY 1, 2
+"""
+
+
+def q_spine_fill_6h(spark, sf_dir):
+    b = discretize(_events_routed(spark, sf_dir), RANGE, timedelta(hours=6), keys=("key",))
+    filled = fill_bins(b, RANGE, timedelta(hours=6), keys=("key",))
+    return filled.select(
+        F.col("key").alias("event_type"), _bin_s(), F.col("cnt").alias("cnt")
+    )
+
+
+_NB6 = TERM_S // 21600
+SQL_SPINE = f"""
+WITH types AS (SELECT DISTINCT event_type FROM events),
+bins AS (SELECT {T0_S} + i * 21600 AS bin_s
+         FROM generate_series(0, {_NB6 - 1}) t(i)),
+cnts AS (
+  SELECT event_type,
+         {T0_S} + (((epoch_ms(ts) // 1000) - {T0_S}) // 21600) * 21600 AS bin_s,
+         count(*)::double AS cnt
+  FROM events
+  WHERE (epoch_ms(ts) // 1000) >= {T0_S} AND (epoch_ms(ts) // 1000) < {T0_S + TERM_S}
+  GROUP BY 1, 2
+)
+SELECT t.event_type, b.bin_s, coalesce(c.cnt, 0.0) AS cnt
+FROM types t CROSS JOIN bins b
+LEFT JOIN cnts c ON c.event_type = t.event_type AND c.bin_s = b.bin_s
+"""
+
+
+def q_rebin_1h_to_1d(spark, sf_dir):
+    fine = discretize(_events_routed(spark, sf_dir), RANGE, timedelta(hours=1), keys=("key",))
+    coarse = rebin(fine, RANGE, timedelta(days=1), keys=("key",))
+    return coarse.select(
+        F.col("key").alias("event_type"), _bin_s(), F.col("cnt").alias("cnt")
+    )
+
+
+SQL_REBIN = f"""
+SELECT event_type,
+       {T0_S} + (((epoch_ms(ts) // 1000) - {T0_S}) // 86400) * 86400 AS bin_s,
+       count(*)::double AS cnt
+FROM events
+WHERE (epoch_ms(ts) // 1000) >= {T0_S} AND (epoch_ms(ts) // 1000) < {T0_S + TERM_S}
+GROUP BY 1, 2
+"""
+
+
+# ================================================================ A8/P4/W13
+
+
+def q_series_stats(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            (F.unix_millis(F.min("ts")) / 1000).cast("bigint").alias("first_s"),
+            (F.unix_millis(F.max("ts")) / 1000).cast("bigint").alias("last_s"),
+        )
+        .where(F.col("n") > 0)
+    )
+
+
+SQL_SERIES_STATS = """
+SELECT user_id, event_type, count(*)::bigint AS n,
+       round(sum(value), 6) AS total_value,
+       (epoch_ms(min(ts)) // 1000) AS first_s,
+       (epoch_ms(max(ts)) // 1000) AS last_s
+FROM events GROUP BY 1, 2 HAVING count(*) > 0
+"""
+
+
+# ================================================================== W1-W12
+
+
+def q_window_diff_abs(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "event_id",
+        F.round(
+            F.coalesce(F.abs(F.col("value") - F.lag("value").over(w)), F.lit(0.0)), 6
+        ).alias("diff_abs"),
+    )
+
+
+SQL_DIFF_ABS = """
+SELECT event_id,
+       round(coalesce(abs(value - lag(value) OVER
+         (PARTITION BY user_id ORDER BY event_id)), 0.0), 6) AS diff_abs
+FROM events
+"""
+
+
+def q_window_znorm(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    mu, sd = F.avg("value").over(w), F.stddev_pop("value").over(w)
+    z = F.when(sd > 0, (F.col("value") - mu) / sd).otherwise(F.lit(0.0))
+    return ev.select("event_id", F.round(z, 6).alias("znorm"))
+
+
+SQL_ZNORM = """
+SELECT event_id,
+       round(CASE WHEN stddev_pop(value) OVER w > 0
+             THEN (value - avg(value) OVER w) / (stddev_pop(value) OVER w)
+             ELSE 0.0 END, 6) AS znorm
+FROM events WINDOW w AS (PARTITION BY event_type)
+"""
+
+
+def q_moving_avg_5(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-2, 2)
+    return ev.select("event_id", F.round(F.avg("value").over(w), 6).alias("mavg"))
+
+
+SQL_MAVG = """
+SELECT event_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS mavg
+FROM events
+"""
+
+
+def q_running_total(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select("event_id", F.round(F.sum("value").over(w), 6).alias("rt"))
+
+
+SQL_RUNNING = """
+SELECT event_id,
+       round(sum(value) OVER (PARTITION BY event_type ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS rt
+FROM events
+"""
+
+
+def q_outlier_mad(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    med = F.expr("percentile(value, 0.5)").over(w)
+    step = ev.withColumn("_dev", F.abs(F.col("value") - med))
+    mad = F.expr("percentile(_dev, 0.5)").over(Window.partitionBy("event_type"))
+    return step.select(
+        "event_id",
+        (F.col("_dev") > mad * 3.0).cast("int").alias("is_outlier"),
+    )
+
+
+SQL_OUTLIER_MAD = """
+WITH m AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+), d AS (
+  SELECT e.event_id, e.event_type, abs(e.value - m.med) AS dev
+  FROM events e JOIN m USING (event_type)
+), md AS (
+  SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1
+)
+SELECT d.event_id, (d.dev > md.mad * 3.0)::int AS is_outlier
+FROM d JOIN md USING (event_type)
+"""
+
+
+# =========================================================== G4 / pc-corr
+
+
+def _hourly_filled_sql() -> str:
+    nb = TERM_S // 3600
+    return f"""
+  WITH types AS (SELECT DISTINCT event_type FROM events),
+  bins AS (SELECT i FROM generate_series(0, {nb - 1}) t(i)),
+  cnts AS (
+    SELECT event_type, ((epoch_ms(ts) // 1000) - {T0_S}) // 3600 AS i,
+           count(*)::double AS cnt
+    FROM events
+    WHERE (epoch_ms(ts) // 1000) >= {T0_S} AND (epoch_ms(ts) // 1000) < {T0_S + TERM_S}
+    GROUP BY 1, 2
+  ),
+  filled AS (
+    SELECT t.event_type, b.i, coalesce(c.cnt, 0.0) AS cnt
+    FROM types t CROSS JOIN bins b
+    LEFT JOIN cnts c ON c.event_type = t.event_type AND c.i = b.i
+  )"""
+
+
+def _hourly_filled(spark, sf_dir) -> DataFrame:
+    b = discretize(_events_routed(spark, sf_dir), RANGE, timedelta(hours=1), keys=("key",))
+    return fill_bins(b, RANGE, timedelta(hours=1), keys=("key",))
+
+
+def q_pairwise_corr_1h(spark, sf_dir):
+    filled = _hourly_filled(spark, sf_dir)
+    a = filled.select(F.col("key").alias("type1"), "bin", F.col("cnt").alias("c1"))
+    b = filled.select(F.col("key").alias("type2"), "bin", F.col("cnt").alias("c2"))
+    return (
+        a.join(b, "bin")
+        .where(F.col("type1") < F.col("type2"))
+        .groupBy("type1", "type2")
+        .agg(F.round(F.corr("c1", "c2"), 6).alias("r"))
+        .where(F.col("r").isNotNull())
+    )
+
+
+SQL_PAIR_CORR = (
+    _hourly_filled_sql()
+    + """
+SELECT a.event_type AS type1, b.event_type AS type2,
+       round(corr(a.cnt, b.cnt), 6) AS r
+FROM filled a JOIN filled b ON a.i = b.i AND a.event_type < b.event_type
+GROUP BY 1, 2 HAVING corr(a.cnt, b.cnt) IS NOT NULL
+"""
+)
+
+
+def q_fisherz_edges_1h(spark, sf_dir):
+    filled = _hourly_filled(spark, sf_dir)
+    n = TERM_S // 3600
+    a = filled.select(F.col("key").alias("type1"), "bin", F.col("cnt").alias("c1"))
+    b = filled.select(F.col("key").alias("type2"), "bin", F.col("cnt").alias("c2"))
+    pairs = (
+        a.join(b, "bin")
+        .where(F.col("type1") < F.col("type2"))
+        .groupBy("type1", "type2")
+        .agg(F.corr("c1", "c2").alias("_r"))
+        .where(F.col("_r").isNotNull())
+    )
+    rc = F.least(F.greatest(F.col("_r"), F.lit(-1 + 1e-12)), F.lit(1 - 1e-12))
+    z = 0.5 * F.log((1 + rc) / (1 - rc)) * F.sqrt(F.lit(float(n - 3)))
+    return (
+        pairs.withColumn("_z", z)
+        .where(F.abs(F.col("_z")) > Z99)
+        .select("type1", "type2", F.round("_r", 6).alias("r"), F.round("_z", 6).alias("z"))
+    )
+
+
+_NB_H = TERM_S // 3600
+SQL_FISHERZ = (
+    _hourly_filled_sql()
+    + f""",
+pairs AS (
+  SELECT a.event_type AS type1, b.event_type AS type2,
+         corr(a.cnt, b.cnt) AS r
+  FROM filled a JOIN filled b ON a.i = b.i AND a.event_type < b.event_type
+  GROUP BY 1, 2 HAVING corr(a.cnt, b.cnt) IS NOT NULL
+), zz AS (
+  SELECT type1, type2, r,
+         0.5 * ln((1 + least(greatest(r, -1 + 1e-12), 1 - 1e-12)) /
+                  (1 - least(greatest(r, -1 + 1e-12), 1 - 1e-12)))
+             * sqrt({float(_NB_H - 3)}) AS z
+  FROM pairs
+)
+SELECT type1, type2, round(r, 6) AS r, round(z, 6) AS z
+FROM zz WHERE abs(z) > {Z99!r}
+"""
+)
+
+
+# ============================================== daily DAG + query surface
+
+
+def _daily_edges(spark, sf_dir) -> DataFrame:
+    """Per-day units: hourly-binned event_type series, Fisher-z edges."""
+    ev = _events_routed(spark, sf_dir)
+    b = discretize(ev, RANGE, timedelta(hours=1), keys=("key",))
+    day = F.date_format("bin", "yyyyMMdd").alias("unit")
+    hourly = b.select(day, "key", "bin", "cnt")
+    # zero-filled per (unit, key): 24 bins/day; sparse sufficient stats
+    stats = hourly.groupBy("unit", "key").agg(
+        F.sum("cnt").alias("sx"), F.sum(F.col("cnt") * F.col("cnt")).alias("sxx")
+    )
+    a = hourly.select("unit", F.col("key").alias("k1"), "bin", F.col("cnt").alias("c1"))
+    bb = hourly.select("unit", F.col("key").alias("k2"), "bin", F.col("cnt").alias("c2"))
+    cross = (
+        a.join(bb, ["unit", "bin"])
+        .where(F.col("k1") < F.col("k2"))
+        .groupBy("unit", "k1", "k2")
+        .agg(F.sum(F.col("c1") * F.col("c2")).alias("sxy"))
+    )
+    s1 = stats.select("unit", F.col("key").alias("k1"), F.col("sx").alias("sx1"), F.col("sxx").alias("sxx1"))
+    s2 = stats.select("unit", F.col("key").alias("k2"), F.col("sx").alias("sx2"), F.col("sxx").alias("sxx2"))
+    n = F.lit(24.0)
+    pairs = (
+        s1.join(s2, "unit")
+        .where(F.col("k1") < F.col("k2"))
+        .join(cross, ["unit", "k1", "k2"], "left")
+        .withColumn("sxy", F.coalesce("sxy", F.lit(0.0)))
+    )
+    cov = n * F.col("sxy") - F.col("sx1") * F.col("sx2")
+    v1 = n * F.col("sxx1") - F.col("sx1") * F.col("sx1")
+    v2 = n * F.col("sxx2") - F.col("sx2") * F.col("sx2")
+    r = F.when((v1 > 0) & (v2 > 0), cov / F.sqrt(v1 * v2))
+    rc = F.least(F.greatest(r, F.lit(-1 + 1e-12)), F.lit(1 - 1e-12))
+    z = 0.5 * F.log((1 + rc) / (1 - rc)) * F.sqrt(F.lit(21.0))
+    return (
+        pairs.withColumn("_r", r)
+        .where(F.col("_r").isNotNull())
+        .withColumn("_z", z)
+        .where(F.abs(F.col("_z")) > Z99)
+        .select("unit", "k1", "k2", F.round("_r", 6).alias("r"))
+    )
+
+
+_SQL_DAILY_EDGES = f"""
+  WITH cnts AS (
+    SELECT strftime(ts, '%Y%m%d') AS unit, event_type,
+           ((epoch_ms(ts) // 1000) - {T0_S}) // 3600 AS i, count(*)::double AS cnt
+    FROM events
+    WHERE (epoch_ms(ts) // 1000) >= {T0_S} AND (epoch_ms(ts) // 1000) < {T0_S + TERM_S}
+    GROUP BY 1, 2, 3
+  ),
+  stats AS (
+    SELECT unit, event_type, sum(cnt) AS sx, sum(cnt * cnt) AS sxx
+    FROM cnts GROUP BY 1, 2
+  ),
+  cross_t AS (
+    SELECT a.unit, a.event_type AS k1, b.event_type AS k2,
+           sum(a.cnt * b.cnt) AS sxy
+    FROM cnts a JOIN cnts b ON a.unit = b.unit AND a.i = b.i
+      AND a.event_type < b.event_type
+    GROUP BY 1, 2, 3
+  ),
+  pairs AS (
+    SELECT s1.unit, s1.event_type AS k1, s2.event_type AS k2,
+           coalesce(c.sxy, 0.0) AS sxy,
+           s1.sx AS sx1, s1.sxx AS sxx1, s2.sx AS sx2, s2.sxx AS sxx2
+    FROM stats s1 JOIN stats s2 ON s1.unit = s2.unit
+      AND s1.event_type < s2.event_type
+    LEFT JOIN cross_t c ON c.unit = s1.unit AND c.k1 = s1.event_type
+      AND c.k2 = s2.event_type
+  ),
+  rr AS (
+    SELECT unit, k1, k2,
+           CASE WHEN (24 * sxx1 - sx1 * sx1) > 0 AND (24 * sxx2 - sx2 * sx2) > 0
+                THEN (24 * sxy - sx1 * sx2) /
+                     sqrt((24 * sxx1 - sx1 * sx1) * (24 * sxx2 - sx2 * sx2))
+           END AS r
+    FROM pairs
+  ),
+  edges AS (
+    SELECT unit, k1, k2, r,
+           0.5 * ln((1 + least(greatest(r, -1 + 1e-12), 1 - 1e-12)) /
+                    (1 - least(greatest(r, -1 + 1e-12), 1 - 1e-12)))
+               * sqrt(21.0) AS z
+    FROM rr WHERE r IS NOT NULL
+  ),
+  kept AS (
+    SELECT unit, k1, k2, round(r, 6) AS r FROM edges WHERE abs(z) > {Z99!r}
+  )"""
+
+
+def q_daily_edges(spark, sf_dir):
+    return _daily_edges(spark, sf_dir)
+
+
+SQL_DAILY_EDGES = _SQL_DAILY_EDGES + "\nSELECT unit, k1, k2, r FROM kept"
+
+
+def q_dag_stats_daily(spark, sf_dir):
+    edges = _daily_edges(spark, sf_dir)
+    ev = _events_routed(spark, sf_dir)
+    b = discretize(ev, RANGE, timedelta(hours=1), keys=("key",))
+    nodes = (
+        b.select(F.date_format("bin", "yyyyMMdd").alias("unit"), "key")
+        .distinct()
+        .groupBy("unit")
+        .agg(F.count("*").alias("n_nodes"))
+    )
+    e = edges.groupBy("unit").agg(F.count("*").alias("n_edges"))
+    return nodes.join(e, "unit", "left").na.fill(0).select("unit", "n_nodes", "n_edges")
+
+
+SQL_DAG_STATS = _SQL_DAILY_EDGES + """
+, nodes AS (
+  SELECT unit, count(DISTINCT event_type)::bigint AS n_nodes
+  FROM cnts GROUP BY 1
+)
+SELECT n.unit, n.n_nodes, coalesce(e.n_edges, 0)::bigint AS n_edges
+FROM nodes n LEFT JOIN (
+  SELECT unit, count(*)::bigint AS n_edges FROM kept GROUP BY 1
+) e USING (unit)
+"""
+
+
+def q_dag_similarity_daily(spark, sf_dir):
+    edges = _daily_edges(spark, sf_dir).withColumn(
+        "pair_key", F.concat_ws("->", "k1", "k2")
+    )
+    vec = edges.select("unit", "pair_key").distinct()
+    norm = vec.groupBy("unit").agg(F.count("*").alias("n"))
+    a = vec.withColumnRenamed("unit", "unit1")
+    b = vec.withColumnRenamed("unit", "unit2")
+    dots = (
+        a.join(b, "pair_key")
+        .where(F.col("unit1") < F.col("unit2"))
+        .groupBy("unit1", "unit2")
+        .agg(F.count("*").alias("dot"))
+    )
+    n1 = norm.select(F.col("unit").alias("unit1"), F.col("n").alias("n1"))
+    n2 = norm.select(F.col("unit").alias("unit2"), F.col("n").alias("n2"))
+    return (
+        dots.join(n1, "unit1")
+        .join(n2, "unit2")
+        .select(
+            "unit1", "unit2", F.col("dot").cast("bigint").alias("dot"),
+            F.round(F.col("dot") / F.sqrt(F.col("n1") * F.col("n2")), 6).alias("cosine"),
+        )
+    )
+
+
+SQL_DAG_SIM = _SQL_DAILY_EDGES + """
+, vec AS (SELECT DISTINCT unit, k1 || '->' || k2 AS pair_key FROM kept),
+norms AS (SELECT unit, count(*) AS n FROM vec GROUP BY 1),
+dots AS (
+  SELECT a.unit AS unit1, b.unit AS unit2, count(*) AS dot
+  FROM vec a JOIN vec b ON a.pair_key = b.pair_key AND a.unit < b.unit
+  GROUP BY 1, 2
+)
+SELECT d.unit1, d.unit2, d.dot::bigint AS dot,
+       round(d.dot / sqrt(n1.n * n2.n), 6) AS cosine
+FROM dots d
+JOIN norms n1 ON n1.unit = d.unit1
+JOIN norms n2 ON n2.unit = d.unit2
+"""
+
+
+def q_trouble_match_daily(spark, sf_dir):
+    """J8: edges whose BOTH endpoints are in the trouble set."""
+    trouble = {"click", "error"}
+    edges = _daily_edges(spark, sf_dir)
+    return edges.where(
+        F.col("k1").isin(*trouble) & F.col("k2").isin(*trouble)
+    ).select("unit", "k1", "k2")
+
+
+SQL_TROUBLE = _SQL_DAILY_EDGES + """
+SELECT unit, k1, k2 FROM kept
+WHERE k1 IN ('click', 'error') AND k2 IN ('click', 'error')
+"""
+
+
+# ============================================================ TPC-H-style
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*)::bigint AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """Broadcast-enrich join chain (J1/J2 shape): fact joins two dims."""
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    n = _load(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+SQL_REVENUE = """
+SELECT n_name, round(sum(o_totalprice), 6) AS revenue,
+       count(*)::bigint AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+def q_topk_customers(spark, sf_dir):
+    """O3/O4 top-k per group: top-3 customers by order revenue per nation."""
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    n = _load(spark, sf_dir, "nation")
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 6).alias("revenue"))
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("o_custkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("n_name", F.col("o_custkey").alias("custkey"), "revenue", "rank")
+    )
+
+
+SQL_TOPK = """
+WITH rev AS (
+  SELECT n_name, o_custkey AS custkey,
+         round(sum(o_totalprice), 6) AS revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, custkey, revenue,
+       row_number() OVER (PARTITION BY n_name
+                          ORDER BY revenue DESC, custkey ASC)::int AS rank
+FROM rev QUALIFY rank <= 3
+"""
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Anti join (U3 shape): per-nation count of order-less customers."""
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    n = _load(spark, sf_dir, "nation")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+SQL_NO_ORDERS = """
+SELECT n_name, count(*)::bigint AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY 1
+"""
+
+
+def q_setop_parts(spark, sf_dir):
+    """U1/U3: parts shipped both early and late vs early-only."""
+    li = _load(spark, sf_dir, "lineitem")
+    early = li.where(F.col("l_shipdate") < "1997-01-01").select("l_partkey").distinct()
+    late = li.where(F.col("l_shipdate") >= "1997-01-01").select("l_partkey").distinct()
+    common = early.intersect(late).count()
+    only_early = early.exceptAll(early.intersect(late)).count()
+    return spark.createDataFrame(
+        [(common, only_early)], "n_common bigint, n_early_only bigint"
+    )
+
+
+SQL_SETOP = """
+WITH early AS (
+  SELECT DISTINCT l_partkey FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+), late AS (
+  SELECT DISTINCT l_partkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+)
+SELECT
+  (SELECT count(*) FROM (SELECT * FROM early INTERSECT SELECT * FROM late))::bigint
+    AS n_common,
+  (SELECT count(*) FROM (SELECT * FROM early EXCEPT SELECT * FROM late))::bigint
+    AS n_early_only
+"""
+
+
+# ============================================================== documents
+
+
+def q_token_stats(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.round(stopword_ratio("text"), 6).alias("stop_ratio"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+    )
+
+
+_STOP_SQL = "('the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','with','for','on')"
+SQL_TOKEN_STATS = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_'']+'),
+                     x -> x <> '') AS toks,
+         text
+  FROM documents
+)
+SELECT doc_id,
+       len(toks)::int AS n_tokens,
+       round(CASE WHEN len(toks) > 0 THEN
+         len(list_filter(toks, x -> x IN {_STOP_SQL}))::double / len(toks)
+         ELSE 0.0 END, 6) AS stop_ratio,
+       round(CASE WHEN length(text) > 0 THEN
+         length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::double / length(text)
+         ELSE 0.0 END, 6) AS punct_ratio
+FROM t
+"""
+
+
+def q_lang_quality(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        lang_id("text").alias("lang_pred"),
+        F.round(quality_score("text"), 6).alias("quality"),
+    )
+
+
+SQL_LANG_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_'']+'),
+                     x -> x <> '') AS toks,
+         string_split_regex(lower(text), '[^a-zà-ÿä-ü]+') AS ltoks
+  FROM documents
+), feats AS (
+  SELECT doc_id, text, toks,
+    len(list_filter(ltoks, x -> x IN ('the','and','of','is','to','in'))) AS en,
+    len(list_filter(ltoks, x -> x IN ('der','die','das','und','ist','nicht'))) AS de,
+    len(list_filter(ltoks, x -> x IN ('le','la','les','et','est','dans'))) AS fr,
+    CASE WHEN len(toks) > 0 THEN
+      len(list_filter(toks, x -> x IN {_STOP_SQL}))::double / len(toks)
+      ELSE 0.0 END AS stop_ratio,
+    CASE WHEN length(text) > 0 THEN
+      length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::double / length(text)
+      ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(toks) > 0 THEN
+      list_sum(list_transform(toks, x -> length(x)))::double / len(toks)
+      ELSE 0.0 END AS mwl
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+       WHEN de >= fr AND de > 0 THEN 'de'
+       WHEN fr > 0 THEN 'fr'
+       ELSE 'unknown' END AS lang_pred,
+  round(
+    (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.3 END) *
+    (CASE WHEN stop_ratio BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END) *
+    (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.4 END) *
+    (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 6) AS quality
+FROM feats
+"""
+
+
+def q_exact_dup_groups(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("text")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_id"))
+        .where(F.col("n_dups") > 1)
+        .select("keep_id", "n_dups")
+    )
+
+
+SQL_EXACT_DUP = """
+SELECT min(doc_id) AS keep_id, count(*)::bigint AS n_dups
+FROM documents GROUP BY text HAVING count(*) > 1
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    return all_pairs_jaccard(d, "text", "doc_id", th=0.2).select(
+        "id1", "id2", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+SQL_NGRAM_JACCARD = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_'']+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                               i -> array_to_string(toks[i:i+2], ' '))) AS gram
+  FROM t
+), gd AS (
+  SELECT DISTINCT doc_id, gram FROM g
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM gd GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ix
+  FROM gd a JOIN gd b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id1, i.id2,
+       round(i.ix::double / (s1.n + s2.n - i.ix), 6) AS jaccard
+FROM inter i
+JOIN sizes s1 ON s1.doc_id = i.id1
+JOIN sizes s2 ON s2.doc_id = i.id2
+WHERE i.ix::double / (s1.n + s2.n - i.ix) >= 0.2
+"""
+
+
+def q_doc_stats(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    return d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+SQL_DOC_STATS = """
+SELECT source, lang, count(*)::bigint AS n_docs,
+       round(avg(n_chars), 6) AS avg_chars
+FROM documents GROUP BY 1, 2
+"""
+
+
+# ============================================================== embeddings
+
+
+def q_cosine_topk(spark, sf_dir):
+    e = _load(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 20)
+    out = brute_force_topk(e, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("score", 6).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+# double-precision cosine spelled out (duckdb's list_cosine_similarity is
+# float32; the engine computes in double)
+_SQL_COS = (
+    "CASE WHEN sqrt(list_sum(list_transform({a}, x -> x::double * x::double))) * "
+    "sqrt(list_sum(list_transform({b}, x -> x::double * x::double))) > 0 THEN "
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> {a}[i]::double * {b}[i]::double)) / "
+    "(sqrt(list_sum(list_transform({a}, x -> x::double * x::double))) * "
+    "sqrt(list_sum(list_transform({b}, x -> x::double * x::double)))) "
+    "ELSE 0.0 END"
+)
+
+SQL_COSINE_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_SQL_COS.format(a='q.qv', b='e.embedding')} AS score
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, round(score, 6) AS score,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, neighbor_id ASC)::int AS rank
+FROM s QUALIFY rank <= 5
+"""
+
+
+def q_embedding_near_dups_bf(spark, sf_dir):
+    e = _load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"))
+    b = e.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("score"))
+        .where(F.col("score") >= 0.8)
+    )
+
+
+SQL_NEAR_DUPS = f"""
+WITH s AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         round({_SQL_COS.format(a='a.embedding', b='b.embedding')}, 6) AS score
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id1, id2, score FROM s WHERE score >= 0.8
+"""
+
+
+# ===================================================== Spark-only queries
+# (non-SQL-expressible or hash-family-specific: driver records rows-only)
+
+
+def q_minhash_lsh_candidates(spark, sf_dir):
+    from logdag_spark.operators.dedup import minhash_lsh_candidates
+
+    d = _load(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(d, "text", "doc_id", num_hashes=16, bands=8)
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    from logdag_spark.operators.dedup import simhash_near_dups
+
+    d = _load(spark, sf_dir, "documents")
+    return simhash_near_dups(d, "text", "doc_id", max_hamming=8)
+
+
+def q_lsh_topk(spark, sf_dir):
+    from logdag_spark.operators.similarity import lsh_topk
+
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    return lsh_topk(e, q, dim=64, k=5)
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from logdag_spark.operators.text import fingerprint
+
+    d = _load(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fp"))
+
+
+def q_media_features(spark, sf_dir):
+    from logdag_spark.operators.multimodal import extract_features, synthetic_media
+
+    return extract_features(synthetic_media(spark, 64))
+
+
+def q_flagship_dag(spark, sf_dir):
+    """The flagship tokens->DAG pipeline on the deterministic synthetic
+    corpus (the driver tables carry no token arrays; BASELINE.json's input
+    table is synthesized per FIXTURES.md §1)."""
+    from datetime import timedelta as _td
+
+    from logdag_spark import fixtures as fx
+    from logdag_spark.config import PipelineConfig
+    from logdag_spark.fixtures.generator import DEFAULT_T0
+    from logdag_spark.pipeline.runner import run_pipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cfg = PipelineConfig(cause_algorithm="pc-corr", ci_bin_size="5m")
+    labeled = fx.gen_tokens(spark, scale=0.2)
+    res = run_pipeline(
+        spark, fx.contract(labeled), fx.host_meta(spark), fx.template_dim(spark),
+        (DEFAULT_T0, DEFAULT_T0 + _td(hours=24)), cfg, apply_filters=False,
+    )
+    from logdag_spark.operators.graphops import edges_with_nodes
+
+    return edges_with_nodes(res.edges, res.evdim).select(
+        "unit", "src_id", "dst_id", "directed", F.round("weight", 6).alias("weight")
+    )
+
+
+def q_pipeline_sink_counts(spark, sf_dir):
+    from datetime import timedelta as _td
+
+    from logdag_spark import fixtures as fx
+    from logdag_spark.config import PipelineConfig
+    from logdag_spark.fixtures.generator import DEFAULT_T0
+    from logdag_spark.pipeline.runner import run_pipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cfg = PipelineConfig(cause_algorithm="pc-corr", ci_bin_size="5m")
+    labeled = fx.gen_tokens(spark, scale=0.2)
+    res = run_pipeline(
+        spark, fx.contract(labeled), fx.host_meta(spark), fx.template_dim(spark),
+        (DEFAULT_T0, DEFAULT_T0 + _td(hours=24)), cfg, apply_filters=False,
+    )
+    return res.sink_counts()
+
+
+QUERIES = {
+    # §2.4 aggregations / discretize
+    "tumbling_count_1m": (q_tumbling_count_1m, SQL_TUMBLING),
+    "sliding_count_10m_5m": (q_sliding_count_10m_5m, SQL_SLIDING),
+    "radius_count_30m": (q_radius_count_30m, SQL_RADIUS),
+    "binarize_1h": (q_binarize_1h, SQL_BINARIZE),
+    "spine_fill_6h": (q_spine_fill_6h, SQL_SPINE),
+    "rebin_1h_to_1d": (q_rebin_1h_to_1d, SQL_REBIN),
+    "series_stats": (q_series_stats, SQL_SERIES_STATS),
+    # §2.5 window transforms
+    "window_diff_abs": (q_window_diff_abs, SQL_DIFF_ABS),
+    "window_znorm": (q_window_znorm, SQL_ZNORM),
+    "moving_avg_5": (q_moving_avg_5, SQL_MAVG),
+    "running_total": (q_running_total, SQL_RUNNING),
+    "outlier_mad": (q_outlier_mad, SQL_OUTLIER_MAD),
+    # §2.9 correlation / DAG surface
+    "pairwise_corr_1h": (q_pairwise_corr_1h, SQL_PAIR_CORR),
+    "fisherz_edges_1h": (q_fisherz_edges_1h, SQL_FISHERZ),
+    "daily_edges": (q_daily_edges, SQL_DAILY_EDGES),
+    "dag_stats_daily": (q_dag_stats_daily, SQL_DAG_STATS),
+    "dag_similarity_daily": (q_dag_similarity_daily, SQL_DAG_SIM),
+    "trouble_match_daily": (q_trouble_match_daily, SQL_TROUBLE),
+    # §2.3/§2.6/§2.7 joins, top-k, set ops
+    "pricing_summary": (q_pricing_summary, SQL_PRICING),
+    "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE),
+    "topk_customers": (q_topk_customers, SQL_TOPK),
+    "customers_without_orders": (q_customers_without_orders, SQL_NO_ORDERS),
+    "setop_parts": (q_setop_parts, SQL_SETOP),
+    # text / dedup / similarity
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "lang_quality": (q_lang_quality, SQL_LANG_QUALITY),
+    "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "doc_stats": (q_doc_stats, SQL_DOC_STATS),
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "embedding_near_dups_bf": (q_embedding_near_dups_bf, SQL_NEAR_DUPS),
+    # Spark-only (rows-only checks)
+    "minhash_lsh_candidates": (q_minhash_lsh_candidates, None),
+    "simhash_near_dups": (q_simhash_near_dups, None),
+    "lsh_topk": (q_lsh_topk, None),
+    "doc_fingerprint": (q_doc_fingerprint, None),
+    "media_features": (q_media_features, None),
+    "flagship_dag": (q_flagship_dag, None),
+    "pipeline_sink_counts": (q_pipeline_sink_counts, None),
+}

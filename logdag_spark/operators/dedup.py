@@ -1,0 +1,264 @@
+"""Deduplication operators for the training-data surface.
+
+Exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine
+near-dup — each designed around its shuffle profile:
+
+* exact: one hash-groupBy (partial agg collapses dupes map-side);
+* MinHash/LSH: shingles -> K minhashes -> B bands; the only shuffle is the
+  groupBy on (band, band-signature) buckets, candidate pairs verified
+  within buckets — never an all-pairs join;
+* SimHash: 64-bit signature; bucket on rotated prefixes;
+* n-gram Jaccard: exact verification join for candidate pairs (testable
+  at small scale; at 100 TB it runs only on LSH candidates);
+* embedding cosine: see operators/similarity.py (shared kernel).
+
+All hashing is xxhash64/crc32-based and fully deterministic — the same
+corpus dedups identically at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from logdag_spark.operators.text import tokenize
+
+
+# ------------------------------------------------------------------- exact
+
+
+def exact_dedup(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest-id representative per exact content hash."""
+    w = Window.partitionBy(F.xxhash64(F.col(col))).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def exact_dup_groups(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(hash, n_dups, representative) for groups with >1 member."""
+    return (
+        df.groupBy(F.xxhash64(F.col(col)).alias("content_hash"))
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------- shingles
+
+
+def shingles(col: str = "text", k: int = 3) -> Column:
+    """Distinct token k-gram strings."""
+    toks = tokenize(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    )
+
+
+# ----------------------------------------------------------------- minhash
+
+
+def minhash_signature(col: str = "text", k: int = 3, num_hashes: int = 32) -> Column:
+    """MinHash signature: per hash seed, min over shingle hashes.
+
+    Seeded hash family via xxhash64(seed, shingle) — one array expression,
+    no UDF, no shuffle.
+    """
+    sh = shingles(col, k)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH.
+
+    rows/band = num_hashes/bands; a pair collides if any band's slice of
+    their signatures matches exactly.  Output: (id1, id2) distinct,
+    id1 < id2.  The bucket join shuffles only (band, signature-slice)
+    groups — heavy identical-content buckets are bounded by the
+    per-bucket pair expansion, which AQE skew-split handles.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"), minhash_signature(col, k, num_hashes).alias("_sig")
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("_sig", b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id",
+    k: int = 3, num_hashes: int = 32, bands: int = 8, jaccard_th: float = 0.8,
+) -> DataFrame:
+    """LSH candidates verified by exact shingle Jaccard, then greedy
+    keep-smallest-id: a doc is dropped if it near-dups a smaller id."""
+    cand = minhash_lsh_candidates(df, col, id_col, k, num_hashes, bands)
+    verified = ngram_jaccard_pairs(df, cand, col, id_col).where(
+        F.col("jaccard") >= jaccard_th
+    )
+    losers = verified.select(F.col("id2").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ------------------------------------------------------------ n-gram jacc
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, pairs: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard over token 3-gram sets for given (id1, id2) pairs."""
+    sh = df.select(F.col(id_col).alias("_id"), shingles(col).alias("_sh"))
+    j = (
+        pairs.join(sh.withColumnRenamed("_sh", "sh1"), pairs["id1"] == sh["_id"])
+        .drop("_id")
+        .join(
+            sh.withColumnRenamed("_sh", "sh2").withColumnRenamed("_id", "_id2"),
+            F.col("id2") == F.col("_id2"),
+        )
+        .drop("_id2")
+    )
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size(F.array_union("sh1", "sh2"))
+    return j.select(
+        "id1",
+        "id2",
+        F.when(union > 0, inter.cast("double") / union).otherwise(0.0).alias("jaccard"),
+    )
+
+
+def all_pairs_jaccard(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id", th: float = 0.5
+) -> DataFrame:
+    """Brute-force all-pairs Jaccard >= th — the small-scale oracle path
+    (the scale path is minhash_lsh_candidates + verification)."""
+    ids = df.select(F.col(id_col).alias("id1"))
+    ids2 = df.select(F.col(id_col).alias("id2"))
+    pairs = ids.crossJoin(ids2).where(F.col("id1") < F.col("id2"))
+    return ngram_jaccard_pairs(df, pairs, col, id_col).where(F.col("jaccard") >= th)
+
+
+# ----------------------------------------------------------------- simhash
+
+
+def simhash(col: str = "text", bits: int = 64) -> Column:
+    """SimHash over token hashes: sign-aggregate each bit position.
+
+    Pure array expressions: per token, xxhash64; per bit, +1/-1 by bit
+    value; signature bit = majority.  Returns a signed 64-bit signature.
+    """
+    toks = tokenize(col)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_sums = F.array(
+        *[
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(
+                    h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1
+                ).otherwise(-1),
+            )
+            for b in range(bits)
+        ]
+    )
+    return F.aggregate(
+        F.zip_with(
+            bit_sums,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda s, b: F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseXOR(x),
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id",
+    max_hamming: int = 3, n_tables: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= max_hamming.
+
+    Scale path: bucket on n_tables 16-bit slices of the signature (a pair
+    within distance 3 of a 64-bit signature matches at least one of 4
+    slices exactly — pigeonhole), verify with bit_count.
+    """
+    sig = df.select(F.col(id_col).alias("_id"), simhash(col).alias("_sig"))
+    slices = sig.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        F.shiftrightunsigned("_sig", t * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("slice"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("s"),
+    ).select("_id", "_sig", "s.t", "s.slice")
+    a, b = slices.alias("a"), slices.alias("b")
+    return (
+        a.join(b, ["t", "slice"])
+        .where(F.col("a._id") < F.col("b._id"))
+        .where(hamming64(F.col("a._sig"), F.col("b._sig")) <= max_hamming)
+        .select(
+            F.col("a._id").alias("id1"),
+            F.col("b._id").alias("id2"),
+            hamming64(F.col("a._sig"), F.col("b._sig")).alias("hamming"),
+        )
+        .distinct()
+    )

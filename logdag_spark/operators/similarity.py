@@ -1,0 +1,199 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the correctness baseline, and an LSH-bucketed
+(random-hyperplane signs) variant as the scale path — the bucketed join
+touches only colliding candidates instead of the full cross product.
+Vector math is built-in array expressions (``aggregate``/``zip_with``,
+JVM-side); no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double"),
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    d = l2norm(a) * l2norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def normalize(a: Column) -> Column:
+    n = l2norm(a)
+    return F.transform(a, lambda x: F.when(n > 0, x / n).otherwise(F.lit(0.0)))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query.
+
+    ``broadcast(queries) x corpus`` -> per-query row_number over score: the
+    corpus is scanned once, the only shuffle is the per-query top-k (a
+    partial top-k per partition under AQE).  Self-matches excluded.
+    Output: (query_id, neighbor_id, score, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hyperplane_signature(
+    vec: Column, dim: int, n_planes: int = 16, seed: int = 7
+) -> Column:
+    """Sign pattern against ``n_planes`` pseudo-random hyperplanes.
+
+    Plane coefficients derive from xxhash64(seed, plane, coord) — the same
+    deterministic-hash idiom as the data generator, so signatures are
+    reproducible with no stored model.  Returns a long bitmask.
+    """
+    def plane_dot(p: int) -> Column:
+        coeffs = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(2001)) - 1000
+            ).cast("double"),
+        )
+        return F.aggregate(
+            F.zip_with(vec, coeffs, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    bits = [
+        F.when(plane_dot(p) > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+            F.lit(0).cast("long")
+        )
+        for p in range(n_planes)
+    ]
+    out = F.lit(0).cast("long")
+    for b in bits:
+        out = out.bitwiseXOR(b)
+    return out
+
+
+def lsh_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    n_tables: int = 3,
+) -> DataFrame:
+    """Approximate top-k: candidates = signature-bucket collisions in any
+    of ``n_tables`` independent hyperplane tables, then exact cosine rank.
+
+    At corpus scale the bucket join replaces the O(N·Q) scan with
+    O(collisions); recall is tunable via planes/tables.
+    """
+    def with_sig(d: DataFrame, idn: str) -> DataFrame:
+        return d.select(
+            F.col(id_col).alias(idn),
+            F.col(vec_col).alias(f"_{idn}_v"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table"),
+                            hyperplane_signature(
+                                F.col(vec_col), dim, n_planes, seed=31 + t
+                            ).alias("sig"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("s"),
+        ).select(idn, f"_{idn}_v", "s.table", "s.sig")
+
+    qs = with_sig(queries, "query_id")
+    cs = with_sig(df, "neighbor_id")
+    cand = (
+        qs.join(cs, ["table", "sig"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_query_id_v"), F.col("_neighbor_id_v")).alias("score"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    dim: int,
+    th: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 10,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (score >= th) via the LSH
+    candidate path; exact verification on candidates."""
+    sigs = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        hyperplane_signature(F.col(vec_col), dim, n_planes, 91 + t).alias("sig"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("s"),
+    ).select("_id", "_v", "s.table", "s.sig")
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(b, ["table", "sig"])
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id1"),
+            F.col("b._id").alias("id2"),
+            cosine(F.col("a._v"), F.col("b._v")).alias("score"),
+        )
+        .where(F.col("score") >= th)
+        .distinct()
+    )

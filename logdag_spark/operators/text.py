@@ -1,0 +1,117 @@
+"""Text-analysis operators for the training-data pipeline surface.
+
+The reference's upstream tokenization is regex-based log parsing
+(/root/reference/tutorial/ssh_parser.py:10-27); these operators extend
+that to the document-corpus operations a 100 TB training-data pipeline
+needs: tokenization/token counting, language ID, quality scoring, and
+rolling-hash fingerprinting.  All are built-in-function column
+expressions (JVM, codegen) — no Python in the hot path; the regex
+tokenizer also ships a pandas-UDF variant as the grok extension point.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TOKEN_RE = r"[A-Za-z0-9_']+"
+_STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that with for on"
+).split()
+
+
+def tokenize(col: str = "text") -> Column:
+    """Whitespace/punctuation tokenization via regex split (BPE-ish word
+    pieces would slot in the same expression)."""
+    return F.filter(
+        F.split(F.lower(F.col(col)), r"[^a-z0-9_']+"), lambda t: t != ""
+    )
+
+
+def token_count(col: str = "text") -> Column:
+    return F.size(tokenize(col))
+
+
+def tokenize_pandas(col: str = "text") -> Column:
+    """Arrow-batched regex tokenizer (the vectorized-UDF variant)."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _tok(s: pd.Series) -> pd.Series:
+        return s.str.lower().str.findall(TOKEN_RE)
+
+    return _tok(F.col(col))
+
+
+def stopword_ratio(col: str = "text") -> Column:
+    toks = tokenize(col)
+    stop = F.size(F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in _STOPWORDS])))
+    return F.when(F.size(toks) > 0, stop / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: str = "text") -> Column:
+    n = F.length(col)
+    np_ = F.length(F.regexp_replace(F.col(col), r"[^\p{Punct}]", ""))
+    return F.when(n > 0, np_ / n).otherwise(F.lit(0.0))
+
+
+def mean_word_length(col: str = "text") -> Column:
+    toks = tokenize(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: str = "text") -> Column:
+    """Composite [0,1] quality heuristic: length, stopword presence,
+    punctuation moderation, plausible word lengths."""
+    length_ok = F.when(F.length(col).between(50, 20000), 1.0).otherwise(0.3)
+    stop_ok = F.when(stopword_ratio(col).between(0.05, 0.6), 1.0).otherwise(0.5)
+    punct_ok = F.when(punct_ratio(col) < 0.2, 1.0).otherwise(0.4)
+    wl = mean_word_length(col)
+    wl_ok = F.when(wl.between(2.0, 12.0), 1.0).otherwise(0.5)
+    return (length_ok * stop_ok * punct_ok * wl_ok).alias("quality")
+
+
+def lang_id(col: str = "text") -> Column:
+    """Tiny n-gram/stopword language heuristic (en/de/fr/unknown).
+
+    A real model would be a broadcast n-gram table + the same expression
+    shape; the scoring plumbing is what matters at scale.
+    """
+    low = F.lower(F.col(col))
+
+    def hits(words: list[str]) -> Column:
+        toks = F.split(low, r"[^a-zà-ÿä-ü]+")
+        return F.size(F.filter(toks, lambda t: t.isin(*[F.lit(w) for w in words])))
+
+    en = hits(["the", "and", "of", "is", "to", "in"])
+    de = hits(["der", "die", "das", "und", "ist", "nicht"])
+    fr = hits(["le", "la", "les", "et", "est", "dans"])
+    return (
+        F.when((en >= de) & (en >= fr) & (en > 0), "en")
+        .when((de >= fr) & (de > 0), "de")
+        .when(fr > 0, "fr")
+        .otherwise("unknown")
+    )
+
+
+def fingerprint(col: str = "text", window: int = 8) -> Column:
+    """Document fingerprint: min of rolling xxhash64 over token n-gram
+    windows (winnowing-style).  Deterministic, shuffle-free."""
+    toks = tokenize(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, window), " "))
+    )
+    return F.array_min(grams)
+
+
+def add_text_features(df: DataFrame, col: str = "text") -> DataFrame:
+    return (
+        df.withColumn("n_tokens", token_count(col))
+        .withColumn("lang_pred", lang_id(col))
+        .withColumn("quality", quality_score(col))
+        .withColumn("fp", fingerprint(col))
+    )

@@ -124,7 +124,9 @@ def discretize(
         raise ValueError(f"unknown discretize method {method!r}")
 
     t0c, step, offset = bin_labels(None, dt_range, bin_size, method, bin_diff)
-    label = F.timestamp_millis(F.lit(t0c) + F.col("_bin_idx") * step + offset)
+    label = F.timestamp_millis(
+        F.lit(t0c) + F.col("_bin_idx").cast("long") * F.lit(step).cast("long") + offset
+    )
     return (
         binned.groupBy(*keys, label.alias("bin"))
         .agg(F.sum(val_col).alias("cnt"))
@@ -150,7 +152,9 @@ def bin_spine(
     """
     total = n_bins(dt_range, bin_size, method, bin_diff)
     t0c, step, offset = bin_labels(None, dt_range, bin_size, method, bin_diff)
-    label = F.timestamp_millis(F.lit(t0c) + F.col("_i") * step + offset)
+    label = F.timestamp_millis(
+        F.lit(t0c) + F.col("_i").cast("long") * F.lit(step).cast("long") + offset
+    )
     return (
         df_keys.withColumn("_i", F.explode(F.sequence(F.lit(0), F.lit(total - 1))))
         .withColumn("bin", label)
