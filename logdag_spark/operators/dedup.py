@@ -192,30 +192,19 @@ def simhash(col: str = "text", bits: int = 64) -> Column:
     """
     toks = tokenize(col)
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    bit_sums = F.array(
-        *[
-            F.aggregate(
-                hashes,
-                F.lit(0),
-                lambda acc, h: acc
-                + F.when(
-                    h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1
-                ).otherwise(-1),
-            )
-            for b in range(bits)
-        ]
-    )
-    return F.aggregate(
-        F.zip_with(
-            bit_sums,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda s, b: F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseXOR(x),
-    )
+    def _bit_vote(mask):
+        def fn(acc, h):
+            return acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
+        return fn
+
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        mask = F.shiftleft(F.lit(1).cast("long"), b)
+        bit_sum = F.aggregate(hashes, F.lit(0), _bit_vote(mask))
+        sig = sig.bitwiseXOR(
+            F.when(bit_sum > 0, mask).otherwise(F.lit(0).cast("long"))
+        )
+    return sig
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -15,16 +15,22 @@ from pyspark.sql.window import Window
 
 
 def dot(a: Column, b: Column) -> Column:
+    # cast BEFORE multiplying: float32*float32 then widening loses bits vs
+    # the double-precision oracle
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
-        lambda acc, v: acc + v.cast("double"),
+        lambda acc, v: acc + v,
     )
 
 
 def l2norm(a: Column) -> Column:
     return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double"))
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
     )
 
 
