@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Measures (1) the flagship tokens->DAG pipeline end-to-end (sequences/sec),
+(2) headline operator queries at $SPARK_GRAFT_SF_DIR, and (3) the
+two-parallelism scaling criterion (same job, same input, N vs 4N cores —
+BENCH/BASELINE.md protocol).  Each parallelism level runs in a FRESH
+subprocess (own JVM) with one untimed warm-up run, then the median of
+timed steady-state runs — JIT/codegen warm-up would otherwise contaminate
+whichever level runs second.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "pipeline": {rows, seq_per_sec, edges, cores},
+   "scaling": {cores_low, cores_high, rate_low, rate_high, efficiency}}
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_SCALE (default 200),
+SPARK_GRAFT_SCALING (default 1), SPARK_GRAFT_BENCH_TRIALS (default 2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+from datetime import timedelta
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_SCALE = float(os.environ.get("SPARK_GRAFT_BENCH_SCALE", "200"))
+RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
+TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
+TOKENS_PATH = f"/tmp/logdag_bench_tokens_{BENCH_SCALE}"
+
+HEADLINE = [
+    "tumbling_count_1m",
+    "sliding_count_10m_5m",
+    "pairwise_corr_1h",
+    "daily_edges",
+    "pricing_summary",
+    "revenue_by_nation",
+    "topk_customers",
+    "token_stats",
+    "minhash_lsh_candidates",
+    "simhash_near_dups",
+    "cosine_topk",
+]
+
+
+def _spark(cores: int):
+    from logdag_spark.session import get_spark
+
+    return get_spark(app_name=f"logdag_bench_{cores}", cores=cores,
+                     shuffle_partitions=cores)
+
+
+def materialize_tokens(spark) -> int:
+    """Input materialization (untimed): the pipeline reads parquet like it
+    would read the Iceberg token table."""
+    from logdag_spark import fixtures as fx
+
+    if not os.path.exists(os.path.join(TOKENS_PATH, "_SUCCESS")):
+        fx.contract(fx.gen_tokens(spark, scale=BENCH_SCALE)).write.mode(
+            "overwrite"
+        ).parquet(TOKENS_PATH)
+    return spark.read.parquet(TOKENS_PATH).count()
+
+
+def run_pipeline_once(spark) -> tuple[float, int, int]:
+    from logdag_spark import fixtures as fx
+    from logdag_spark.config import PipelineConfig
+    from logdag_spark.fixtures.generator import DEFAULT_T0
+    from logdag_spark.pipeline.runner import run_pipeline
+
+    tokens = spark.read.parquet(TOKENS_PATH)
+    cfg = PipelineConfig(cause_algorithm="pc-corr", ci_bin_size="1m")
+    t0 = time.monotonic()
+    res = run_pipeline(
+        spark, tokens, fx.host_meta(spark), fx.template_dim(spark),
+        (DEFAULT_T0, DEFAULT_T0 + timedelta(hours=24)), cfg,
+        apply_filters=True,
+    )
+    n_edges = res.edges.count()
+    wall = time.monotonic() - t0
+    n_rows = tokens.count()
+    spark.catalog.clearCache()
+    return wall, n_rows, n_edges
+
+
+def pipeline_worker(cores: int) -> None:
+    """Subprocess entry: warm-up + TRIALS timed runs, JSON to stdout."""
+    spark = _spark(cores)
+    materialize_tokens(spark)
+    run_pipeline_once(spark)  # warm-up (JIT, codegen cache, python workers)
+    walls, rows, edges = [], 0, 0
+    for _ in range(TRIALS):
+        w, rows, edges = run_pipeline_once(spark)
+        walls.append(w)
+    spark.stop()
+    print(json.dumps({
+        "cores": cores,
+        "wall": statistics.median(walls),
+        "walls": [round(w, 2) for w in walls],
+        "rows": rows,
+        "edges": edges,
+    }))
+
+
+def _run_worker(cores: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--pipeline-worker", str(cores)],
+        capture_output=True, text=True, check=True,
+        env={**os.environ, "SPARK_GRAFT_BENCH_SCALE": str(BENCH_SCALE)},
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--pipeline-worker":
+        pipeline_worker(int(sys.argv[2]))
+        return
+
+    from logdag_spark.entry_queries import QUERIES
+
+    # materialize the token input once (untimed) before workers run
+    spark = _spark(CPUS)
+    materialize_tokens(spark)
+    spark.stop()
+
+    high = _run_worker(CPUS)
+    q_times: dict[str, float] = {"pipeline_e2e": round(high["wall"], 3)}
+    pipeline = {
+        "rows": high["rows"],
+        "seq_per_sec": round(high["rows"] / high["wall"], 1),
+        "edges": high["edges"],
+        "cores": CPUS,
+        "walls": high["walls"],
+    }
+
+    scaling = None
+    if RUN_SCALING:
+        low_cores = max(2, CPUS // 4)
+        low = _run_worker(low_cores)
+        rate_high = high["rows"] / high["wall"]
+        rate_low = low["rows"] / low["wall"]
+        scaling = {
+            "cores_low": low_cores,
+            "cores_high": CPUS,
+            "rate_low": round(rate_low, 1),
+            "rate_high": round(rate_high, 1),
+            "efficiency": round((rate_high / rate_low) / (CPUS / low_cores), 3),
+        }
+
+    spark = _spark(CPUS)
+    for name in HEADLINE:
+        fn, _ = QUERIES[name]
+        t0 = time.monotonic()
+        fn(spark, SF_DIR).count()
+        q_times[name] = round(time.monotonic() - t0, 3)
+    spark.stop()
+
+    out = {
+        "metric": "tokens_to_dag_e2e_plus_headline_queries",
+        "value": round(sum(q_times.values()), 3),
+        "unit": "sec",
+        "queries": q_times,
+        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+        "pipeline": pipeline,
+        "scaling": scaling,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -188,7 +188,28 @@ def gen_tokens(
     t0_ms = int(t0.timestamp() * 1000)
     specs = spark.createDataFrame(stream_specs(scale, term))
 
-    events = specs.withColumn("idx", F.explode(F.sequence(F.lit(0), F.col("n_events") - 1)))
+    # two-level explode: chunk the per-stream index space so no single
+    # sequence() array exceeds 64k elements (heavy-hitter streams at large
+    # scale would otherwise materialize multi-MB rows), and repartition so
+    # generation parallelizes across executors rather than per-stream rows
+    chunk = 65536
+    events = (
+        specs.withColumn(
+            "chunk",
+            F.explode(F.sequence(F.lit(0), ((F.col("n_events") - 1) / chunk).cast("long"))),
+        )
+        .repartition(max(spark.sparkContext.defaultParallelism, 8))
+        .withColumn(
+            "idx",
+            F.explode(
+                F.sequence(
+                    F.col("chunk") * chunk,
+                    F.least(F.col("chunk") * chunk + chunk - 1, F.col("n_events") - 1),
+                )
+            ),
+        )
+        .drop("chunk")
+    )
 
     def uniform(*cols) -> F.Column:
         return F.pmod(F.xxhash64(*cols), F.lit(1_000_000_000)) / 1e9

@@ -63,16 +63,28 @@ def shingles(col: str = "text", k: int = 3) -> Column:
 # ----------------------------------------------------------------- minhash
 
 
-def minhash_signature(col: str = "text", k: int = 3, num_hashes: int = 32) -> Column:
-    """MinHash signature: per hash seed, min over shingle hashes.
+def minhash_signatures(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """MinHash signatures, relationally: explode shingles once, hash each
+    against ``num_hashes`` seeds, take per-doc minima in ONE hash
+    aggregate.
 
-    Seeded hash family via xxhash64(seed, shingle) — one array expression,
-    no UDF, no shuffle.
+    This shape matters twice at scale: the shingle set is computed exactly
+    once per row (a single giant array expression re-inlines the whole
+    tokenize->shingle pipeline per hash and explodes codegen), and the
+    groupBy(min) gets map-side partial aggregation, so the shuffle carries
+    one signature row per document regardless of shingle count.
+    Output: (_id, h0..h{n-1}).
     """
-    sh = shingles(col, k)
-    return F.array(
+    sh = df.select(F.col(id_col).alias("_id"), F.explode(shingles(col, k)).alias("_sh"))
+    return sh.groupBy("_id").agg(
         *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s)))
+            F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
@@ -90,14 +102,12 @@ def minhash_lsh_candidates(
 
     rows/band = num_hashes/bands; a pair collides if any band's slice of
     their signatures matches exactly.  Output: (id1, id2) distinct,
-    id1 < id2.  The bucket join shuffles only (band, signature-slice)
-    groups — heavy identical-content buckets are bounded by the
-    per-bucket pair expansion, which AQE skew-split handles.
+    id1 < id2.  The bucket join shuffles only (band, bucket-hash) keys —
+    never an all-pairs product; heavy identical-content buckets are
+    handled by AQE skew-split.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"), minhash_signature(col, k, num_hashes).alias("_sig")
-    )
+    sig = minhash_signatures(df, col, id_col, k, num_hashes)
     banded = sig.select(
         "_id",
         F.explode(
@@ -106,13 +116,10 @@ def minhash_lsh_candidates(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("_sig", b * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
+                            *[
+                                F.col(f"h{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -184,27 +191,35 @@ def all_pairs_jaccard(
 # ----------------------------------------------------------------- simhash
 
 
-def simhash(col: str = "text", bits: int = 64) -> Column:
-    """SimHash over token hashes: sign-aggregate each bit position.
-
-    Pure array expressions: per token, xxhash64; per bit, +1/-1 by bit
-    value; signature bit = majority.  Returns a signed 64-bit signature.
-    """
-    toks = tokenize(col)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    def _bit_vote(mask):
-        def fn(acc, h):
-            return acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
-        return fn
-
+def simhash_signatures(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """SimHash signatures, relationally: explode tokens once, one hash
+    aggregate with ``bits`` majority-vote sums, recombine into a signed
+    64-bit signature.  Same scale rationale as minhash_signatures: single
+    tokenize pass + map-side partial aggregation (one row per doc on the
+    shuffle).  Output: (_id, _sig long)."""
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokenize(col)).alias("_t")
+    ).withColumn("_h", F.xxhash64("_t"))
+    votes = toks.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("_h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
     sig = F.lit(0).cast("long")
     for b in range(bits):
         mask = F.shiftleft(F.lit(1).cast("long"), b)
-        bit_sum = F.aggregate(hashes, F.lit(0), _bit_vote(mask))
         sig = sig.bitwiseXOR(
-            F.when(bit_sum > 0, mask).otherwise(F.lit(0).cast("long"))
+            F.when(F.col(f"b{b}") > 0, mask).otherwise(F.lit(0).cast("long"))
         )
-    return sig
+    return votes.select("_id", sig.alias("_sig"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -221,7 +236,7 @@ def simhash_near_dups(
     within distance 3 of a 64-bit signature matches at least one of 4
     slices exactly — pigeonhole), verify with bit_count.
     """
-    sig = df.select(F.col(id_col).alias("_id"), simhash(col).alias("_sig"))
+    sig = simhash_signatures(df, col, id_col)
     slices = sig.select(
         "_id",
         "_sig",

@@ -82,8 +82,17 @@ def run_pipeline(
     parsed = parse(tokens, template_dim)
     enriched = enrich(parsed, host_meta, template_dim)
     routed = route(enriched)
-    routed = ck(routed.withColumn("day", F.to_date("ts")), "events_ts",
-                partition_by=["measure", "day"]) if catalog else routed
+    if catalog:
+        routed = ck(routed.withColumn("day", F.to_date("ts")), "events_ts",
+                    partition_by=["measure", "day"]).drop("day")
+    else:
+        # Materialize the routed stage before the python-kernel exchange:
+        # feeding applyInPandas a live JVM-heavy plan makes parse tasks and
+        # Python workers contend for the same cores (measured 3-10x wall
+        # variance locally).  With a catalog the events_ts checkpoint is
+        # this barrier; without one, localCheckpoint is the in-memory
+        # equivalent.
+        routed = routed.localCheckpoint(eager=True)
     if apply_filters and cfg.filter_rules:
         filtered = filter_series(
             routed.where(F.col("measure") != "unparsed"), dt_range, cfg
@@ -95,7 +104,12 @@ def run_pipeline(
         filtered, dt_range, cfg.bin_size, cfg.ci_bin_method,
         cfg.bin_diff if cfg.ci_bin_method != "sequential" else None,
     )
-    binned = ck(binned, "binned")
+    # the aggregation boundary is the natural materialization point: binned
+    # is |series| x |bins| — orders of magnitude smaller than the input.
+    # With a catalog the checkpoint write/read cuts the lineage; without
+    # one, cache so event_dim / unit_matrix / edges don't recompute the
+    # whole parse->filter->aggregate tree once each.
+    binned = ck(binned, "binned") if catalog else binned.cache()
 
     uh = make_unit_hosts(spark, dt_range, cfg, host_meta)
     long = assign_units(binned, uh)
@@ -103,8 +117,8 @@ def run_pipeline(
     mat = unit_matrix(long, evdim)
     if cfg.merge_syncevent:
         mat, evdim = merge_syncevents(mat, evdim)
-    evdim = ck(evdim, "event_dim")
-    mat = ck(mat, "unit_matrix")
+    evdim = ck(evdim, "event_dim") if catalog else evdim.cache()
+    mat = ck(mat, "unit_matrix") if catalog else mat.cache()
 
     nb = unit_nbins_df(
         spark, uh, cfg.bin_size, cfg.ci_bin_method,
