@@ -1,0 +1,97 @@
+"""Thin CLI mirroring the reference's command surface
+(/root/reference/logdag/__main__.py:510-603, source/__main__.py:181-209).
+
+    python -m logdag_spark make-evdb    --scale 1 --warehouse WH
+    python -m logdag_spark make-dag     --scale 1 --warehouse WH [--algorithm pc|pc-corr]
+    python -m logdag_spark show-stats   --warehouse WH
+    python -m logdag_spark show-edges   --warehouse WH [--unit U]
+    python -m logdag_spark show-subgraphs --warehouse WH
+    python -m logdag_spark dump-input   --warehouse WH --out CSV_DIR
+    python -m logdag_spark lineage      --warehouse WH
+
+Designed for ``spark-submit --py-files logdag_spark.zip`` on a cluster;
+locally it builds its own session.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from datetime import timedelta
+
+from logdag_spark.config import PipelineConfig
+from logdag_spark.session import get_spark
+
+
+def _common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--warehouse", default="/tmp/logdag_spark_warehouse")
+    p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--cores", type=int, default=None)
+    p.add_argument("--bin-size", default="1m")
+    p.add_argument("--algorithm", default="pc-corr", choices=["pc", "pc-corr"])
+    p.add_argument("--ci-func", default="fisherz", choices=["fisherz", "gsq"])
+    p.add_argument("--no-filters", action="store_true")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="logdag_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for cmd in (
+        "make-evdb", "make-dag", "show-stats", "show-edges", "show-subgraphs",
+        "dump-input", "lineage",
+    ):
+        _common(sub.add_parser(cmd))
+    args = ap.parse_args(argv)
+
+    spark = get_spark(app_name=f"logdag_{args.cmd}", cores=args.cores)
+    from logdag_spark import fixtures as fx
+    from logdag_spark.fixtures.generator import DEFAULT_T0
+    from logdag_spark.io.catalog import Catalog
+
+    cat = Catalog(spark, args.warehouse)
+    cfg = PipelineConfig(
+        cause_algorithm=args.algorithm, ci_func=args.ci_func,
+        ci_bin_size=args.bin_size, warehouse=args.warehouse,
+    )
+    dt_range = (DEFAULT_T0, DEFAULT_T0 + timedelta(hours=24))
+
+    if args.cmd in ("make-evdb", "make-dag"):
+        from logdag_spark.pipeline.runner import run_pipeline
+
+        tokens = fx.contract(fx.gen_tokens(spark, scale=args.scale))
+        res = run_pipeline(
+            spark, tokens, fx.host_meta(spark), fx.template_dim(spark),
+            dt_range, cfg, catalog=cat, apply_filters=not args.no_filters,
+        )
+        if args.cmd == "make-evdb":
+            res.sink_counts().show(truncate=False)
+        else:
+            res.edges.groupBy("unit").count().show(truncate=False)
+    elif args.cmd == "show-stats":
+        from logdag_spark.operators.graphops import dag_stats
+
+        dag_stats(cat.read("dag_edges"), cat.read("event_dim")).show(truncate=False)
+    elif args.cmd == "show-edges":
+        from logdag_spark.operators.graphops import edges_with_nodes
+
+        edges_with_nodes(cat.read("dag_edges"), cat.read("event_dim")).select(
+            "unit", "src_id", "dst_id", "directed", "weight"
+        ).show(200, truncate=False)
+    elif args.cmd == "show-subgraphs":
+        from logdag_spark.operators.graphops import (
+            connected_components,
+            netsize_distribution,
+        )
+
+        comp = connected_components(cat.read("dag_edges"), cat.read("event_dim"))
+        netsize_distribution(comp).show(truncate=False)
+    elif args.cmd == "dump-input":
+        cat.read("unit_matrix").orderBy("unit", "eid", "bin").show(100)
+    elif args.cmd == "lineage":
+        cat.stage_metrics().show(truncate=False)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

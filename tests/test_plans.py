@@ -1,0 +1,84 @@
+"""Physical-plan shape assertions — the operators must not only be
+correct but compile to the plans a 100 TB run needs: broadcast joins for
+dims, predicate pushdown into the parquet scan, whole-stage codegen on the
+hot path, no shuffle on the parse fact side."""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from logdag_spark import fixtures as fx
+from logdag_spark.fixtures.generator import DEFAULT_T0
+from logdag_spark.pipeline import discretize, enrich, parse_tokens, route
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _n_shuffles(plan: str) -> int:
+    import re
+
+    return len([e for e in re.findall(r"\w*Exchange\w*", plan) if e == "Exchange"])
+
+
+def _tokens(spark):
+    # localCheckpoint so the generator's own repartition doesn't show up
+    # in the plan under test
+    return fx.contract(fx.gen_tokens(spark, scale=0.02)).localCheckpoint(eager=True)
+
+
+def test_parse_is_broadcast_join_no_fact_shuffle(spark):
+    parsed = parse_tokens(_tokens(spark), fx.template_dim(spark))
+    plan = _plan(parsed)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the fact side must not shuffle: the only exchange is the broadcast
+    assert _n_shuffles(plan) == 0
+
+
+def test_enrich_joins_are_broadcast(spark):
+    tdim = fx.template_dim(spark)
+    enriched = enrich(parse_tokens(_tokens(spark), tdim), fx.host_meta(spark), tdim)
+    plan = _plan(enriched)
+    assert plan.count("BroadcastHashJoin") >= 2  # host_meta + template group
+    assert "SortMergeJoin" not in plan
+    assert _n_shuffles(plan) == 0
+
+
+def test_events_scan_pushes_filters(spark, sf01_dir):
+    ev = spark.read.parquet(f"{sf01_dir}/events.parquet")
+    q = ev.where(F.col("event_type") == "error").select("event_id", "value")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)]" in plan
+    # column pruning: scan must read only the needed columns
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in read_schema and "user_id" not in read_schema
+
+
+def test_discretize_is_single_hash_aggregate(spark):
+    routed = route(
+        enrich(
+            parse_tokens(_tokens(spark), fx.template_dim(spark)),
+            fx.host_meta(spark),
+            fx.template_dim(spark),
+        )
+    )
+    b = discretize(routed, (DEFAULT_T0, DEFAULT_T0 + timedelta(hours=24)), timedelta(minutes=1))
+    b.count()  # materialize so the AQE final plan (with codegen spans) exists
+    plan = _plan(b)
+    # partial + final hash aggregate around exactly one shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert _n_shuffles(plan) == 1
+    assert "WholeStageCodegen" in plan
+
+
+def test_tumbling_agg_uses_whole_stage_codegen(spark, sf01_dir):
+    from logdag_spark.entry_queries import q_tumbling_count_1m
+
+    plan = _plan(q_tumbling_count_1m(spark, sf01_dir))
+    assert "WholeStageCodegen" in plan
+    assert "BatchScan" in plan or "FileScan" in plan
