@@ -68,7 +68,7 @@ def test_discretize_is_single_hash_aggregate(spark):
         )
     )
     b = discretize(routed, (DEFAULT_T0, DEFAULT_T0 + timedelta(hours=24)), timedelta(minutes=1))
-    b.count()  # materialize so the AQE final plan (with codegen spans) exists
+    b.collect()  # materialize THIS query execution so AQE finalizes it
     plan = _plan(b)
     # partial + final hash aggregate around exactly one shuffle
     assert plan.count("HashAggregate") >= 2
