@@ -22,6 +22,9 @@ def _plan(df) -> str:
 def _n_shuffles(plan: str) -> int:
     import re
 
+    # executed adaptive plans append an "== Initial Plan ==" section;
+    # count only the plan that actually ran
+    plan = plan.split("== Initial Plan ==")[0]
     return len([e for e in re.findall(r"\w*Exchange\w*", plan) if e == "Exchange"])
 
 
@@ -73,12 +76,15 @@ def test_discretize_is_single_hash_aggregate(spark):
     # partial + final hash aggregate around exactly one shuffle
     assert plan.count("HashAggregate") >= 2
     assert _n_shuffles(plan) == 1
-    assert "WholeStageCodegen" in plan
+    # whole-stage codegen spans appear as "*(n)" markers in Spark 4 plans
+    assert "*(" in plan
 
 
 def test_tumbling_agg_uses_whole_stage_codegen(spark, sf01_dir):
     from logdag_spark.entry_queries import q_tumbling_count_1m
 
-    plan = _plan(q_tumbling_count_1m(spark, sf01_dir))
-    assert "WholeStageCodegen" in plan
+    df = q_tumbling_count_1m(spark, sf01_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "*(" in plan  # whole-stage codegen marker
     assert "BatchScan" in plan or "FileScan" in plan
