@@ -956,6 +956,58 @@ SELECT id1, id2, score FROM s WHERE score >= 0.8
 """
 
 
+def q_cube_stats(spark, sf_dir):
+    """A9-style rollup: counts by (event_type, hour-of-day) with CUBE
+    (reference computes day/area groupings separately; cube serves both,
+    SURVEY.md §2.4)."""
+    ev = _load(spark, sf_dir, "events")
+    hod = F.hour("ts").cast("int")
+    return (
+        ev.cube(F.col("event_type"), hod.alias("hod"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("hod"), F.lit(-1)).alias("hod"),
+            "n",
+            "total",
+        )
+    )
+
+
+SQL_CUBE_STATS = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(hour(ts), -1)::int AS hod,
+       count(*)::bigint AS n,
+       round(sum(value), 6) AS total
+FROM events GROUP BY CUBE(event_type, hour(ts))
+"""
+
+
+def q_revert_bins(spark, sf_dir):
+    """W15: re-expand hourly bin counts into repeated per-bin rows
+    (/root/reference/logdag/source/filter_log.py:105-114)."""
+    b = discretize(
+        _events_routed(spark, sf_dir), RANGE, timedelta(hours=1), keys=("key",)
+    )
+    return (
+        b.withColumn("_i", F.explode(F.sequence(F.lit(1), F.col("cnt").cast("int"))))
+        .select(F.col("key").alias("event_type"), _bin_s(), F.col("_i").cast("int").alias("i"))
+    )
+
+
+SQL_REVERT = f"""
+WITH c AS (
+  SELECT event_type,
+         {T0_S} + (((epoch_ms(ts) // 1000) - {T0_S}) // 3600) * 3600 AS bin_s,
+         count(*) AS cnt
+  FROM events
+  WHERE (epoch_ms(ts) // 1000) >= {T0_S} AND (epoch_ms(ts) // 1000) < {T0_S + TERM_S}
+  GROUP BY 1, 2
+)
+SELECT event_type, bin_s, unnest(range(1, cnt + 1))::int AS i FROM c
+"""
+
+
 # ===================================================== Spark-only queries
 # (non-SQL-expressible or hash-family-specific: driver records rows-only)
 
@@ -993,6 +1045,29 @@ def q_media_features(spark, sf_dir):
     from logdag_spark.operators.multimodal import extract_features, synthetic_media
 
     return extract_features(synthetic_media(spark, 64))
+
+
+def q_lingam_daily(spark, sf_dir):
+    """G5: DirectLiNGAM weighted directed edges per day-unit over the
+    hourly event-type series (non-SQL-expressible: iterative entropy
+    estimation)."""
+    from datetime import datetime as _dt
+    from datetime import timezone as _tz
+
+    from logdag_spark.pipeline.lingam import lingam_edges
+
+    ev = _events_routed(spark, sf_dir)
+    b = discretize(ev, RANGE, timedelta(hours=1), keys=("key",))
+    day = F.date_format("bin", "yyyyMMdd").alias("unit")
+    types = [r["key"] for r in b.select("key").distinct().collect()]
+    eid_map = {t: i for i, t in enumerate(sorted(types))}
+    mapping = F.create_map(*[x for t, i in eid_map.items() for x in (F.lit(t), F.lit(i))])
+    mat = b.select(day, mapping[F.col("key")].cast("long").alias("eid"), "bin", "cnt")
+    units = [r["unit"] for r in mat.select("unit").distinct().collect()]
+    meta = {
+        u: (_dt.strptime(u, "%Y%m%d").replace(tzinfo=_tz.utc), 24) for u in units
+    }
+    return lingam_edges(mat, meta, timedelta(hours=1))
 
 
 def q_flagship_dag(spark, sf_dir):
@@ -1074,12 +1149,15 @@ QUERIES = {
     "doc_stats": (q_doc_stats, SQL_DOC_STATS),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_near_dups_bf": (q_embedding_near_dups_bf, SQL_NEAR_DUPS),
+    "cube_stats": (q_cube_stats, SQL_CUBE_STATS),
+    "revert_bins": (q_revert_bins, SQL_REVERT),
     # Spark-only (rows-only checks)
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, None),
     "simhash_near_dups": (q_simhash_near_dups, None),
     "lsh_topk": (q_lsh_topk, None),
     "doc_fingerprint": (q_doc_fingerprint, None),
     "media_features": (q_media_features, None),
+    "lingam_daily": (q_lingam_daily, None),
     "flagship_dag": (q_flagship_dag, None),
     "pipeline_sink_counts": (q_pipeline_sink_counts, None),
 }

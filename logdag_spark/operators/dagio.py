@@ -1,0 +1,149 @@
+"""DAG import/export + misc reference-surface utilities.
+
+S7  — node-link JSON export/import per unit
+      (/root/reference/logdag/showdag.py:93-119): undirected edges are
+      stored as bidirectional pairs in the reference's pickle; the JSON
+      here keeps the engine's (directed flag) form and expands to
+      bidirectional on request for byte-parity with reference consumers.
+S10 — trouble-ticket store: one JSON object per ticket with an event
+      identifier list (/root/reference/logdag/eval/trouble.py:13-145).
+J3  — anonymize / restore: remap host names and gids through a stored
+      mapping (/root/reference/logdag/source/src_amulog.py:32-42,
+      /root/reference/logdag/showdag.py:145-159) — broadcast-join remaps.
+U5  — identifier-set ops over merged-event member lists
+      (/root/reference/logdag/log2event.py:55-72).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------ S7
+
+
+def dag_to_node_link(edges_unit: list[dict], nodes: list[int]) -> dict:
+    """Driver-side node-link dict for ONE unit (reference JSON shape:
+    showdag.py:105-117), bidirectional expansion for undirected edges."""
+    links = []
+    for e in edges_unit:
+        links.append({"source": e["src_eid"], "target": e["dst_eid"],
+                      "weight": e.get("weight")})
+        if not e["directed"]:
+            links.append({"source": e["dst_eid"], "target": e["src_eid"],
+                          "weight": e.get("weight")})
+    return {
+        "directed": True,
+        "multigraph": False,
+        "graph": {},
+        "nodes": [{"id": n} for n in sorted(nodes)],
+        "links": links,
+    }
+
+
+def export_node_link(edges: DataFrame, evdim: DataFrame, out_dir: str) -> list[str]:
+    """Write one node-link JSON per unit (driver-side; per-unit DAGs are
+    small by construction)."""
+    os.makedirs(out_dir, exist_ok=True)
+    units = [r["unit"] for r in evdim.select("unit").distinct().collect()]
+    paths = []
+    for unit in sorted(units):
+        es = [r.asDict() for r in edges.where(F.col("unit") == unit).collect()]
+        ns = [r["eid"] for r in evdim.where(F.col("unit") == unit).collect()]
+        p = os.path.join(out_dir, f"{unit}.json")
+        with open(p, "w") as f:
+            json.dump(dag_to_node_link(es, ns), f, sort_keys=True)
+        paths.append(p)
+    return paths
+
+
+def import_node_link(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Read node-link JSONs back into the edges-DataFrame shape, deduping
+    the bidirectional pairs to directed=False rows
+    (reference read path showdag.py:479-488)."""
+    rows = []
+    for p in paths:
+        unit = os.path.splitext(os.path.basename(p))[0]
+        with open(p) as f:
+            d = json.load(f)
+        seen = {(l["source"], l["target"]) for l in d["links"]}
+        emitted = set()
+        for l in d["links"]:
+            a, b = l["source"], l["target"]
+            key = (min(a, b), max(a, b))
+            if (b, a) in seen:
+                if key in emitted:
+                    continue
+                emitted.add(key)
+                rows.append((unit, key[0], key[1], False, l.get("weight")))
+            else:
+                rows.append((unit, a, b, True, l.get("weight")))
+    return spark.createDataFrame(
+        rows,
+        "unit string, src_eid long, dst_eid long, directed boolean, weight double",
+    )
+
+
+# ----------------------------------------------------------------- S10
+
+
+def load_trouble_tickets(spark: SparkSession, path: str) -> DataFrame:
+    """Trouble store: directory of JSON tickets
+    ``{"tid": int, "identifiers": [..]}`` -> (tid, identifier) rows with
+    the reference's zero-padded tid format (eval/trouble.py:55-57)."""
+    rows = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(path, name)) as f:
+            t = json.load(f)
+        for ident in t.get("identifiers", []):
+            rows.append((str(t["tid"]).zfill(4), ident))
+    return spark.createDataFrame(rows, "tid string, identifier string")
+
+
+# ------------------------------------------------------------------ J3
+
+
+def anonymize(df: DataFrame, mapping: DataFrame, col: str = "host") -> DataFrame:
+    """Replace values through a broadcast (original -> anon) mapping."""
+    m = mapping.select(F.col("original").alias(col), "anon")
+    return (
+        df.join(F.broadcast(m), col, "left")
+        .withColumn(col, F.coalesce("anon", F.col(col)))
+        .drop("anon")
+    )
+
+
+def restore(df: DataFrame, mapping: DataFrame, col: str = "host") -> DataFrame:
+    """Inverse remap (showdag.py:145-159)."""
+    inv = mapping.select(
+        F.col("anon").alias(col), F.col("original")
+    )
+    return (
+        df.join(F.broadcast(inv), col, "left")
+        .withColumn(col, F.coalesce("original", F.col(col)))
+        .drop("original")
+    )
+
+
+# ------------------------------------------------------------------ U5
+
+
+def members_of(identifier: F.Column | str) -> F.Column:
+    """Split a (possibly merged) identifier into its member list
+    (log2event.py:114-119 '|' join convention)."""
+    c = F.col(identifier) if isinstance(identifier, str) else identifier
+    return F.split(c, r"\|")
+
+
+def attr_and(a, b) -> F.Column:
+    return F.array_intersect(members_of(a), members_of(b))
+
+
+def attr_or(a, b) -> F.Column:
+    return F.array_union(members_of(a), members_of(b))

@@ -284,6 +284,69 @@ def dag_similarity(edges: DataFrame, evdim: DataFrame) -> DataFrame:
     )
 
 
+# ------------------------------------------------- A9 cube / O4 / W16
+
+
+def dag_stats_by(edges: DataFrame, evdim: DataFrame, unit_dim: DataFrame) -> DataFrame:
+    """A9: node/edge counts rolled up by day AND area in one pass via
+    cube() (the reference computes the day and area groupings in separate
+    driver loops, /root/reference/logdag/showdag.py:551-600;
+    /root/reference/logdag/__main__.py:230-297).
+
+    ``unit_dim(unit, day, area)`` is the small unit dimension.
+    """
+    per_unit = dag_stats(edges, evdim).join(F.broadcast(unit_dim), "unit")
+    return (
+        per_unit.cube("day", "area")
+        .agg(
+            F.sum("n_nodes").alias("n_nodes"),
+            F.sum("n_edges").alias("n_edges"),
+            F.count("*").alias("n_units"),
+        )
+    )
+
+
+def similar_dags_topn(edges: DataFrame, evdim: DataFrame, unit: str, n: int = 5) -> DataFrame:
+    """O4: top-n units most similar to ``unit`` by edge-set cosine
+    (edge_search.py:708-731)."""
+    sim = dag_similarity(edges, evdim)
+    mine = sim.where((F.col("unit1") == unit) | (F.col("unit2") == unit))
+    other = F.when(F.col("unit1") == unit, F.col("unit2")).otherwise(F.col("unit1"))
+    return (
+        mine.select(other.alias("unit"), "cosine")
+        .orderBy(F.desc("cosine"), F.asc("unit"))
+        .limit(n)
+    )
+
+
+def temporal_edge_sort(
+    edges: DataFrame,
+    evdim: DataFrame,
+    matrix: DataFrame,
+    query_ts,
+) -> DataFrame:
+    """W16: rank edges by the count-weighted mean distance of their
+    endpoints' events from a query time — ascending, closest first
+    (/root/reference/logdag/visual/edge_search.py:650-705).
+
+    ``matrix`` is the long-form (unit, eid, bin, cnt).
+    """
+    dist = F.abs(F.unix_millis(F.col("bin")) - F.lit(int(query_ts.timestamp() * 1000)))
+    node_score = (
+        matrix.groupBy("unit", "eid")
+        .agg((F.sum(dist * F.col("cnt")) / F.sum("cnt")).alias("node_dist"))
+    )
+    s = node_score.select("unit", F.col("eid").alias("src_eid"), F.col("node_dist").alias("sd"))
+    d = node_score.select("unit", F.col("eid").alias("dst_eid"), F.col("node_dist").alias("dd"))
+    return (
+        edges.join(s, ["unit", "src_eid"])
+        .join(d, ["unit", "dst_eid"])
+        .withColumn("score", (F.col("sd") + F.col("dd")) / 2 / 1000.0)
+        .drop("sd", "dd")
+        .orderBy("score")
+    )
+
+
 # --------------------------------------------------------------- J8 match
 
 

@@ -70,19 +70,30 @@ def run_pipeline(
     catalog: Catalog | None = None,
     use_pandas_parse: bool = False,
     apply_filters: bool = True,
+    checkpoint_stages: tuple[str, ...] = (
+        "events_ts", "binned", "event_dim", "unit_matrix", "dag_edges",
+    ),
 ) -> PipelineResult:
     cfg = cfg or PipelineConfig()
     parse = parse_tokens_pandas if use_pandas_parse else parse_tokens
 
     def ck(df: DataFrame, name: str, partition_by=None) -> DataFrame:
-        if catalog is None:
+        if catalog is None or name not in checkpoint_stages:
             return df
         return catalog.write(df, name, partition_by=partition_by, stage=name)
+
+    def ck_or_cache(df: DataFrame, name: str) -> DataFrame:
+        """Checkpoint when configured, otherwise cache — either way the
+        stage is materialized once, never recomputed by downstream
+        branches."""
+        if catalog is not None and name in checkpoint_stages:
+            return catalog.write(df, name, stage=name)
+        return df.cache()
 
     parsed = parse(tokens, template_dim)
     enriched = enrich(parsed, host_meta, template_dim)
     routed = route(enriched)
-    if catalog:
+    if catalog and "events_ts" in checkpoint_stages:
         routed = ck(routed.withColumn("day", F.to_date("ts")), "events_ts",
                     partition_by=["measure", "day"]).drop("day")
     else:
@@ -109,7 +120,7 @@ def run_pipeline(
     # With a catalog the checkpoint write/read cuts the lineage; without
     # one, cache so event_dim / unit_matrix / edges don't recompute the
     # whole parse->filter->aggregate tree once each.
-    binned = ck(binned, "binned") if catalog else binned.cache()
+    binned = ck_or_cache(binned, "binned")
 
     uh = make_unit_hosts(spark, dt_range, cfg, host_meta)
     long = assign_units(binned, uh)
@@ -117,8 +128,8 @@ def run_pipeline(
     mat = unit_matrix(long, evdim)
     if cfg.merge_syncevent:
         mat, evdim = merge_syncevents(mat, evdim)
-    evdim = ck(evdim, "event_dim") if catalog else evdim.cache()
-    mat = ck(mat, "unit_matrix") if catalog else mat.cache()
+    evdim = ck_or_cache(evdim, "event_dim")
+    mat = ck_or_cache(mat, "unit_matrix")
 
     nb = unit_nbins_df(
         spark, uh, cfg.bin_size, cfg.ci_bin_method,
@@ -126,6 +137,14 @@ def run_pipeline(
     )
     if cfg.cause_algorithm == "pc-corr":
         edges = fisherz_edges(pairwise_corr(mat, nb), cfg.skeleton_threshold)
+    elif cfg.cause_algorithm == "lingam":
+        from logdag_spark.pipeline.lingam import lingam_edges
+
+        unit_meta = {
+            r["unit"]: (r["dts"], int(r["n"]))
+            for r in uh.select("unit", "dts").distinct().join(nb, "unit").collect()
+        }
+        edges = lingam_edges(mat, unit_meta, cfg.bin_size)
     elif cfg.cause_algorithm == "pc":
         unit_meta = {
             r["unit"]: (r["dts"], int(r["n"]))
