@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_SCALE = float(os.environ.get("SPARK_GRAFT_BENCH_SCALE", "500"))
+BENCH_SCALE = float(os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1000"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
 TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
 # N -> 4N scaling pair.  This VM advertises 32 vCPUs but delivers ~16
