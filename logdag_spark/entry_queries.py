@@ -722,14 +722,22 @@ GROUP BY 1
 
 
 def q_setop_parts(spark, sf_dir):
-    """U1/U3: parts shipped both early and late vs early-only."""
+    """U1/U3: parts shipped both early and late vs early-only.
+
+    Single pass: one hash-agg computing both set-membership flags per
+    part, then a scalar agg — no driver actions, no double scan (the
+    round-1 form ran two eager ``.count()``s and computed the intersect
+    twice)."""
     li = _load(spark, sf_dir, "lineitem")
-    early = li.where(F.col("l_shipdate") < "1997-01-01").select("l_partkey").distinct()
-    late = li.where(F.col("l_shipdate") >= "1997-01-01").select("l_partkey").distinct()
-    common = early.intersect(late).count()
-    only_early = early.exceptAll(early.intersect(late)).count()
-    return spark.createDataFrame(
-        [(common, only_early)], "n_common bigint, n_early_only bigint"
+    flags = li.groupBy("l_partkey").agg(
+        F.max((F.col("l_shipdate") < "1997-01-01").cast("int")).alias("early"),
+        F.max((F.col("l_shipdate") >= "1997-01-01").cast("int")).alias("late"),
+    )
+    return flags.agg(
+        F.sum(((F.col("early") == 1) & (F.col("late") == 1)).cast("bigint"))
+        .alias("n_common"),
+        F.sum(((F.col("early") == 1) & (F.col("late") == 0)).cast("bigint"))
+        .alias("n_early_only"),
     )
 
 
@@ -1042,9 +1050,24 @@ def q_doc_fingerprint(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
+    """Multimodal decode plumbing.  The driver's canonicalizer can't
+    sort/hash array columns, so the entry projects scalar columns only —
+    the feature vector is reduced to a checksum + element count; the full
+    ``array<float>`` stays available via the non-entry API
+    (operators.multimodal.extract_features)."""
     from logdag_spark.operators.multimodal import extract_features, synthetic_media
 
-    return extract_features(synthetic_media(spark, 64))
+    feats = extract_features(synthetic_media(spark, 64))
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "sha256",
+        F.size("feature").alias("feature_dim"),
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("feature_sum"),
+    )
 
 
 def q_lingam_daily(spark, sf_dir):

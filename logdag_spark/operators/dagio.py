@@ -46,14 +46,29 @@ def dag_to_node_link(edges_unit: list[dict], nodes: list[int]) -> dict:
 
 
 def export_node_link(edges: DataFrame, evdim: DataFrame, out_dir: str) -> list[str]:
-    """Write one node-link JSON per unit (driver-side; per-unit DAGs are
-    small by construction)."""
+    """Write one node-link JSON per unit.
+
+    ONE Spark job: per-unit edge and node lists are assembled with
+    ``groupBy(unit).agg(collect_list(...))`` and full-outer joined, so the
+    driver sees exactly one small row per unit (per-unit DAGs are small by
+    construction) — not one filter+collect job per unit (round-1 perf-weak
+    item: O(units) jobs at 365 days x areas)."""
     os.makedirs(out_dir, exist_ok=True)
-    units = [r["unit"] for r in evdim.select("unit").distinct().collect()]
+    e = edges.groupBy("unit").agg(
+        F.collect_list(
+            F.struct("src_eid", "dst_eid", "directed", "weight")
+        ).alias("es")
+    )
+    n = evdim.groupBy("unit").agg(F.collect_list("eid").alias("ns"))
+    both = n.join(e, "unit", "full_outer").orderBy("unit")
     paths = []
-    for unit in sorted(units):
-        es = [r.asDict() for r in edges.where(F.col("unit") == unit).collect()]
-        ns = [r["eid"] for r in evdim.where(F.col("unit") == unit).collect()]
+    # collect(): exactly ONE job; rows are per-unit aggregates (small).
+    # For extreme unit counts switch to toLocalIterator (1 job per
+    # partition, bounded driver memory).
+    for row in both.collect():
+        unit = row["unit"]
+        es = [x.asDict() for x in (row["es"] or [])]
+        ns = list(row["ns"] or [])
         p = os.path.join(out_dir, f"{unit}.json")
         with open(p, "w") as f:
             json.dump(dag_to_node_link(es, ns), f, sort_keys=True)

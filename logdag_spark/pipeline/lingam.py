@@ -132,36 +132,55 @@ def lingam_edges(
     unit_meta: dict[str, tuple[datetime, int]],
     bin_size: timedelta,
     th: float = 0.05,
+    noedge: DataFrame | None = None,
+    method: str = "sequential",
+    bin_diff: timedelta | None = None,
 ) -> DataFrame:
-    """Distributed DirectLiNGAM over all units (grouped-map kernel)."""
-    from datetime import timezone
+    """Distributed DirectLiNGAM over all units (grouped-map kernel).
 
-    bin_ms = int(bin_size.total_seconds() * 1000)
+    ``noedge`` (unit, eid1, eid2) zeroes the corresponding coefficients —
+    the prior-knowledge no-path constraint (reference passes
+    ``lingam_prior_knowledge`` into the estimator,
+    /root/reference/logdag/pknowledge.py:93-112; here the constraint is
+    applied to the fitted triangular B, equivalent for no-EDGE rules).
+    ``method``/``bin_diff`` must match the discretize stage (bin labels
+    step by bin_diff for slide/radius).
+    """
+    from logdag_spark.pipeline.pc import (
+        _to_utc_ms,
+        assemble_unit_matrix,
+        label_step_ms,
+    )
 
-    def _to_ms(t0: datetime) -> int:
-        if t0.tzinfo is None:
-            t0 = t0.replace(tzinfo=timezone.utc)
-        return int(t0.timestamp() * 1000)
+    spark = matrix.sparkSession
+    step_ms, offset_ms = label_step_ms(bin_size, method, bin_diff)
+    meta = {u: (_to_utc_ms(t0), nb) for u, (t0, nb) in unit_meta.items()}
 
-    meta = {u: (_to_ms(t0), nb) for u, (t0, nb) in unit_meta.items()}
-
-    def kernel(mdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(mdf: pd.DataFrame, ndf: pd.DataFrame) -> pd.DataFrame:
         if len(mdf) == 0:
             return pd.DataFrame(
                 columns=["unit", "src_eid", "dst_eid", "directed", "weight"]
             )
         unit = mdf["unit"].iloc[0]
         t0_ms, nb = meta[unit]
-        eids = np.sort(mdf["eid"].unique())
-        pos = {e: k for k, e in enumerate(eids)}
-        mat = np.zeros((nb, len(eids)))
-        bin_ms_vals = mdf["bin"].values.astype("datetime64[ms]").astype("int64")
-        bin_idx = (bin_ms_vals - t0_ms) // bin_ms
-        col = mdf["eid"].map(pos).to_numpy()
-        ok = (bin_idx >= 0) & (bin_idx < nb)
-        mat[bin_idx[ok], col[ok]] = mdf["cnt"].to_numpy()[ok]
+        mat, eids = assemble_unit_matrix(mdf, t0_ms, nb, step_ms, offset_ms)
         order = causal_order(mat)
         B = fit_coefficients(mat, order, th)
+        if len(ndf):
+            pos = {e: k for k, e in enumerate(eids)}
+            for _, r in ndf.iterrows():
+                a, b = pos.get(r["eid1"]), pos.get(r["eid2"])
+                if a is not None and b is not None:
+                    B[a, b] = B[b, a] = 0.0
         return lingam_matrix_to_edges(unit, B, eids)
 
-    return matrix.groupBy("unit").applyInPandas(kernel, EDGE_SCHEMA)
+    if noedge is None:
+        noedge = spark.createDataFrame([], "unit string, eid1 long, eid2 long")
+    else:
+        # fresh attribute ids (see pc_edges: cogroup self-join ambiguity)
+        noedge = noedge.select("unit", "eid1", "eid2").toDF("unit", "eid1", "eid2")
+    return (
+        matrix.groupBy("unit")
+        .cogroup(noedge.groupBy("unit"))
+        .applyInPandas(kernel, EDGE_SCHEMA)
+    )

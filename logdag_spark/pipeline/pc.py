@@ -308,6 +308,50 @@ def graph_to_edges(unit: str, g: np.ndarray, corr: np.ndarray, eids: np.ndarray)
     )
 
 
+def label_step_ms(
+    bin_size: timedelta, method: str = "sequential",
+    bin_diff: timedelta | None = None,
+) -> tuple[int, int]:
+    """(step, offset) in ms mapping bin labels back to matrix row indices.
+
+    Must mirror ``aggregate.bin_labels``: labels step by ``bin_diff`` for
+    slide/radius (radius adds a half-slide offset), by ``bin_size`` for
+    sequential.  Indexing with bin_size when bin_diff differs collides or
+    drops rows silently (ADVICE r1).
+    """
+    size = int(bin_size.total_seconds() * 1000)
+    slide = int(bin_diff.total_seconds() * 1000) if bin_diff else size
+    step = size if method == "sequential" else slide
+    offset = slide // 2 if method == "radius" else 0
+    return step, offset
+
+
+def _to_utc_ms(t0: datetime) -> int:
+    # Spark collects timestamps as naive datetimes in the session TZ
+    # (pinned to UTC in session.py); make that explicit
+    from datetime import timezone
+
+    if t0.tzinfo is None:
+        t0 = t0.replace(tzinfo=timezone.utc)
+    return int(t0.timestamp() * 1000)
+
+
+def assemble_unit_matrix(
+    mdf: pd.DataFrame, t0_ms: int, nb: int, step_ms: int, offset_ms: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Long-form (eid, bin, cnt) rows -> dense (bins x events) matrix +
+    sorted eid vector.  Shared by the PC and LiNGAM kernels."""
+    eids = np.sort(mdf["eid"].unique())
+    pos = {e: k for k, e in enumerate(eids)}
+    mat = np.zeros((nb, len(eids)))
+    bin_ms_vals = mdf["bin"].values.astype("datetime64[ms]").astype("int64")
+    bin_idx = (bin_ms_vals - t0_ms - offset_ms) // step_ms
+    col = mdf["eid"].map(pos).to_numpy()
+    ok = (bin_idx >= 0) & (bin_idx < nb)
+    mat[bin_idx[ok], col[ok]] = mdf["cnt"].to_numpy()[ok]
+    return mat, eids
+
+
 def pc_edges(
     matrix: DataFrame,
     unit_meta: dict[str, tuple[datetime, int]],
@@ -317,25 +361,20 @@ def pc_edges(
     max_depth: int = -1,
     binarize: bool | None = None,
     noedge: DataFrame | None = None,
+    method: str = "sequential",
+    bin_diff: timedelta | None = None,
 ) -> DataFrame:
     """Distributed PC over all units.
 
     ``matrix`` is the long-form (unit, eid, bin, cnt); ``unit_meta`` maps
     unit -> (range start, n_bins) (tiny, closure-captured).  ``noedge`` is
     an optional (unit, eid1, eid2) prior-knowledge frame cogrouped in.
+    ``method``/``bin_diff`` must match the discretize stage so bin labels
+    map back to the right matrix row for slide/radius binning.
     """
     spark = matrix.sparkSession
-    bin_ms = int(bin_size.total_seconds() * 1000)
-    from datetime import timezone
-
-    def _to_ms(t0: datetime) -> int:
-        # Spark collects timestamps as naive datetimes in the session TZ
-        # (pinned to UTC in session.py); make that explicit
-        if t0.tzinfo is None:
-            t0 = t0.replace(tzinfo=timezone.utc)
-        return int(t0.timestamp() * 1000)
-
-    meta = {u: (_to_ms(t0), nb) for u, (t0, nb) in unit_meta.items()}
+    step_ms, offset_ms = label_step_ms(bin_size, method, bin_diff)
+    meta = {u: (_to_utc_ms(t0), nb) for u, (t0, nb) in unit_meta.items()}
 
     def kernel(mdf: pd.DataFrame, ndf: pd.DataFrame) -> pd.DataFrame:
         if len(mdf) == 0:
@@ -344,26 +383,70 @@ def pc_edges(
             )
         unit = mdf["unit"].iloc[0]
         t0_ms, nb = meta[unit]
-        eids = np.sort(mdf["eid"].unique())
+        mat, eids = assemble_unit_matrix(mdf, t0_ms, nb, step_ms, offset_ms)
         pos = {e: k for k, e in enumerate(eids)}
-        mat = np.zeros((nb, len(eids)))
-        bin_ms_vals = mdf["bin"].values.astype("datetime64[ms]").astype("int64")
-        bin_idx = (bin_ms_vals - t0_ms) // bin_ms
-        col = mdf["eid"].map(pos).to_numpy()
-        ok = (bin_idx >= 0) & (bin_idx < nb)
-        mat[bin_idx[ok], col[ok]] = mdf["cnt"].to_numpy()[ok]
         init = np.ones((len(eids), len(eids)), dtype=bool)
-        for _, r in ndf.iterrows():
-            a, b = pos.get(r["eid1"]), pos.get(r["eid2"])
-            if a is not None and b is not None:
-                init[a, b] = init[b, a] = False
+        if len(ndf):
+            a = ndf["eid1"].map(pos).to_numpy()
+            b = ndf["eid2"].map(pos).to_numpy()
+            ok = ~(pd.isna(a) | pd.isna(b))
+            ai, bi = a[ok].astype(int), b[ok].astype(int)
+            init[ai, bi] = init[bi, ai] = False
         g, corr = estimate_dag_matrix(mat, ci_func, alpha, max_depth, init, binarize)
         return graph_to_edges(unit, g, corr, eids)
 
     if noedge is None:
         noedge = spark.createDataFrame([], "unit string, eid1 long, eid2 long")
+    else:
+        # fresh attribute ids: noedge usually derives from the same evdim
+        # lineage as matrix, which trips the self-join ambiguity check in
+        # the cogroup
+        noedge = noedge.select("unit", "eid1", "eid2").toDF("unit", "eid1", "eid2")
     return (
         matrix.groupBy("unit")
         .cogroup(noedge.groupBy("unit"))
         .applyInPandas(kernel, EDGE_SCHEMA)
     )
+
+
+def orient_depth0_edges(edges: DataFrame) -> DataFrame:
+    """CPDAG orientation for a depth-0 (pc-corr) skeleton.
+
+    The reference's pc-corr is the full PC machinery at depth 0
+    (/root/reference/logdag/makedag.py:116-122) — orientation included.
+    At depth 0 every removed pair's separating set is EMPTY, so
+    v-structures depend only on the skeleton: every unshielded triple
+    i-j-k orients i->j<-k; Meek rules close.  That lets the sparse
+    DataFrame fisherz discovery (the scale path) keep its shape while a
+    tiny per-unit grouped-map kernel adds reference-parity orientation
+    over the (small) surviving edge set — the heavy lifting stays in the
+    single-shuffle sufficient-statistics plan.
+    """
+
+    def kernel(edf: pd.DataFrame) -> pd.DataFrame:
+        if len(edf) == 0:
+            return pd.DataFrame(
+                columns=["unit", "src_eid", "dst_eid", "directed", "weight"]
+            )
+        unit = edf["unit"].iloc[0]
+        nodes = np.sort(
+            np.unique(np.concatenate([edf["src_eid"].values, edf["dst_eid"].values]))
+        )
+        pos = {e: k for k, e in enumerate(nodes)}
+        p = len(nodes)
+        adj = np.zeros((p, p), dtype=bool)
+        wmat = np.zeros((p, p))
+        for _, r in edf.iterrows():
+            i, j = pos[r["src_eid"]], pos[r["dst_eid"]]
+            adj[i, j] = adj[j, i] = True
+            wmat[i, j] = wmat[j, i] = r["weight"]
+
+        class _EmptySepsets(dict):
+            # depth-0: every non-adjacent pair was separated by the empty set
+            def get(self, key, default=None):
+                return ()
+
+        g = orient_cpdag(adj, _EmptySepsets())
+        return graph_to_edges(unit, g, wmat, nodes)
+
+    return edges.groupBy("unit").applyInPandas(kernel, EDGE_SCHEMA)

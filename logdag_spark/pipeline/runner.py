@@ -33,7 +33,8 @@ from logdag_spark.pipeline.correlate import (
 )
 from logdag_spark.pipeline.enrich import enrich
 from logdag_spark.pipeline.parse import parse_tokens, parse_tokens_pandas
-from logdag_spark.pipeline.pc import pc_edges
+from logdag_spark.pipeline.pc import orient_depth0_edges, pc_edges
+from logdag_spark.pipeline.pknowledge import build_noedge, candidate_pairs
 from logdag_spark.pipeline.route import route
 from logdag_spark.pipeline.series_filter import filter_series
 
@@ -70,6 +71,7 @@ def run_pipeline(
     catalog: Catalog | None = None,
     use_pandas_parse: bool = False,
     apply_filters: bool = True,
+    pk_context: dict | None = None,
     checkpoint_stages: tuple[str, ...] = (
         "events_ts", "binned", "event_dim", "unit_matrix", "dag_edges",
     ),
@@ -135,25 +137,69 @@ def run_pipeline(
         spark, uh, cfg.bin_size, cfg.ci_bin_method,
         cfg.bin_diff if cfg.ci_bin_method != "sequential" else None,
     )
+
+    # prior-knowledge pruning (G7): the reference applies the configured
+    # rule set to every unit before every algorithm
+    # (/root/reference/logdag/makedag.py:44-45).  The noedge frame shrinks
+    # the CI-test space — pc gets it as the initial adjacency, pc-corr as
+    # an anti-join on the pair frame, lingam as zeroed coefficients.
+    noedge = None
+    if cfg.pk_rules:
+        tcols = template_dim.columns
+        sel = [F.col("gid").cast("string").alias("key")]
+        for c in ("group", "source"):
+            if c in tcols:
+                sel.append(c)
+        pk_dim = evdim.join(F.broadcast(template_dim.select(*sel)), "key", "left")
+        noedge = build_noedge(candidate_pairs(pk_dim), cfg.pk_rules, pk_context or {})
+
+    bin_diff = cfg.bin_diff if cfg.ci_bin_method != "sequential" else None
+
+    def _unit_meta():
+        return {
+            r["unit"]: (r["dts"], int(r["n"]))
+            for r in uh.select("unit", "dts").distinct().join(nb, "unit").collect()
+        }
+
     if cfg.cause_algorithm == "pc-corr":
-        edges = fisherz_edges(pairwise_corr(mat, nb), cfg.skeleton_threshold)
+        # reference pc-corr = full PC at depth 0 with the configured
+        # ci_func + CPDAG orientation (makedag.py:116-122).  For fisherz
+        # on raw counts the depth-0 CI test is exactly the pairwise
+        # Fisher-z threshold, so the sparse sufficient-statistics plan
+        # (no dense matrices, one shuffle) discovers the skeleton and a
+        # tiny per-unit kernel adds orientation.  gsq/binarized input
+        # needs the contingency-table test -> PC kernel at depth 0.
+        if cfg.ci_func == "fisherz" and not cfg.binarize:
+            pairs_r = pairwise_corr(mat, nb)
+            if noedge is not None:
+                # fresh attribute ids: both frames derive from evdim
+                ne = noedge.select("unit", "eid1", "eid2").toDF(
+                    "unit", "eid1", "eid2"
+                )
+                pairs_r = pairs_r.join(ne, ["unit", "eid1", "eid2"], "left_anti")
+            edges = orient_depth0_edges(
+                fisherz_edges(pairs_r, cfg.skeleton_threshold)
+            )
+        else:
+            edges = pc_edges(
+                mat, _unit_meta(), cfg.bin_size,
+                ci_func=cfg.ci_func, alpha=cfg.skeleton_threshold,
+                max_depth=0, binarize=cfg.binarize or None, noedge=noedge,
+                method=cfg.ci_bin_method, bin_diff=bin_diff,
+            )
     elif cfg.cause_algorithm == "lingam":
         from logdag_spark.pipeline.lingam import lingam_edges
 
-        unit_meta = {
-            r["unit"]: (r["dts"], int(r["n"]))
-            for r in uh.select("unit", "dts").distinct().join(nb, "unit").collect()
-        }
-        edges = lingam_edges(mat, unit_meta, cfg.bin_size)
+        edges = lingam_edges(
+            mat, _unit_meta(), cfg.bin_size, noedge=noedge,
+            method=cfg.ci_bin_method, bin_diff=bin_diff,
+        )
     elif cfg.cause_algorithm == "pc":
-        unit_meta = {
-            r["unit"]: (r["dts"], int(r["n"]))
-            for r in uh.select("unit", "dts").distinct().join(nb, "unit").collect()
-        }
         edges = pc_edges(
-            mat, unit_meta, cfg.bin_size,
+            mat, _unit_meta(), cfg.bin_size,
             ci_func=cfg.ci_func, alpha=cfg.skeleton_threshold,
             max_depth=cfg.skeleton_depth, binarize=cfg.binarize or None,
+            noedge=noedge, method=cfg.ci_bin_method, bin_diff=bin_diff,
         )
     else:
         raise ValueError(f"unknown cause_algorithm {cfg.cause_algorithm!r}")

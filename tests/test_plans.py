@@ -34,12 +34,15 @@ def _tokens(spark):
     return fx.contract(fx.gen_tokens(spark, scale=0.02)).localCheckpoint(eager=True)
 
 
-def test_parse_is_broadcast_join_no_fact_shuffle(spark):
+def test_parse_is_map_only_projection(spark):
+    """Parse is a single literal-expression Project: no join machinery at
+    all, no shuffle — the strongest possible shape for a 10^12-row map
+    stage."""
     parsed = parse_tokens(_tokens(spark), fx.template_dim(spark))
     plan = _plan(parsed)
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
-    # the fact side must not shuffle: the only exchange is the broadcast
+    assert "Join" not in plan
     assert _n_shuffles(plan) == 0
+    assert "Project" in plan
 
 
 def test_enrich_joins_are_broadcast(spark):

@@ -103,6 +103,60 @@ def test_pc_gsq_e2e(spark, inputs):
     assert res.edges.count() > 0
 
 
+def test_prior_knowledge_wired(spark, inputs):
+    """pk_rules prune the edge space in BOTH pc-corr and pc paths
+    (reference applies prior knowledge unconditionally before every
+    algorithm, /root/reference/logdag/makedag.py:44-45)."""
+    labeled, hmeta, tdim = inputs
+    topo = spark.createDataFrame(
+        [(f"host{i:02d}", f"host{i+1:02d}") for i in range(0, 8, 2)],
+        "host1 string, host2 string",
+    )
+    ctx = {"topology": topo}
+    adj = {(r["host1"], r["host2"]) for r in topo.collect()}
+    adj |= {(b, a) for a, b in adj}
+
+    def _violations(res):
+        e = (
+            res.edges.join(
+                res.evdim.select("unit", F.col("eid").alias("src_eid"),
+                                 F.col("host").alias("sh")), ["unit", "src_eid"],
+            ).join(
+                res.evdim.select("unit", F.col("eid").alias("dst_eid"),
+                                 F.col("host").alias("dh")), ["unit", "dst_eid"],
+            ).where(F.col("sh") != F.col("dh"))
+        )
+        return [
+            (r["sh"], r["dh"]) for r in e.collect() if (r["sh"], r["dh"]) not in adj
+        ]
+
+    for algo in ("pc-corr", "pc"):
+        cfg_off = PipelineConfig(cause_algorithm=algo, ci_bin_size="5m",
+                                 skeleton_depth=1)
+        cfg_on = PipelineConfig(cause_algorithm=algo, ci_bin_size="5m",
+                                skeleton_depth=1, pk_rules=("topology",))
+        res_off = run_pipeline(spark, fx.contract(labeled), hmeta, tdim,
+                               DT_RANGE, cfg_off, apply_filters=False)
+        res_on = run_pipeline(spark, fx.contract(labeled), hmeta, tdim,
+                              DT_RANGE, cfg_on, apply_filters=False,
+                              pk_context=ctx)
+        n_off, n_on = res_off.edges.count(), res_on.edges.count()
+        assert _violations(res_on) == [], f"{algo}: forbidden edges survived"
+        assert n_on <= n_off and n_on > 0
+        # the unrestricted run must actually contain forbidden pairs,
+        # otherwise this test proves nothing
+        assert len(_violations(res_off)) > 0, f"{algo}: vacuous fixture"
+
+
+def test_unknown_pk_rule_raises(spark, inputs):
+    labeled, hmeta, tdim = inputs
+    cfg = PipelineConfig(cause_algorithm="pc-corr", ci_bin_size="5m",
+                         pk_rules=("bogus",))
+    with pytest.raises(ValueError, match="unknown prior-knowledge rule"):
+        run_pipeline(spark, fx.contract(labeled), hmeta, tdim, DT_RANGE, cfg,
+                     apply_filters=False)
+
+
 def test_checkpoint_resume(spark, inputs, tmp_path):
     labeled, hmeta, tdim = inputs
     cfg = PipelineConfig(cause_algorithm="pc-corr", ci_bin_size="5m")
