@@ -17,8 +17,8 @@ Prints ONE JSON line:
    "scaling": {cores_low, cores_high, rate_low, rate_high, efficiency}}
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_SCALE (default 200),
-SPARK_GRAFT_SCALING (default 1), SPARK_GRAFT_BENCH_TRIALS (default 2).
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_SCALE (default 2000),
+SPARK_GRAFT_SCALING (default 1), SPARK_GRAFT_BENCH_TRIALS (default 3).
 """
 
 from __future__ import annotations
@@ -35,7 +35,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_SCALE = float(os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1000"))
+# scale 2000 = 31.4M sequences: sized so the parallel work dominates the
+# per-run fixed cost (driver scheduling + tiny result-side jobs, ~5 s) at
+# the high parallelism level — at half this scale the scaling measurement
+# reflects job-launch latency more than engine throughput
+BENCH_SCALE = float(os.environ.get("SPARK_GRAFT_BENCH_SCALE", "2000"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
 TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
 # N -> 4N scaling pair.  This VM advertises 32 vCPUs but delivers ~16
@@ -68,10 +72,13 @@ def _spark(cores: int):
         app_name=f"logdag_bench_{cores}", cores=cores,
         shuffle_partitions=cores,
         extra_conf={
-            # enough input splits that every parallelism level gets >=2
-            # waves of scan tasks (default 128MB gives local[2] three
-            # splits and local[8] nine — uneven task waves skew scaling)
-            "spark.sql.files.maxPartitionBytes": "33554432",
+            # many small input splits so task waves are even at every
+            # parallelism level (default 128MB gives local[8] a handful
+            # of splits -> the last partial wave idles ~25% of the
+            # cores; 8MB ~= 100 splits makes the quantization loss <5%
+            # at both levels, modelling a real cluster where splits >>
+            # cores)
+            "spark.sql.files.maxPartitionBytes": "8388608",
         },
     )
 

@@ -70,6 +70,13 @@ class PipelineConfig:
     merge_syncevent: bool = False
     # prior knowledge
     pk_rules: tuple[str, ...] = ()
+    # snmp feature generation (reference snmp_feature_def JSON,
+    # evgen_snmp.py:123-150): vsources as (name, source-measure) hostsum
+    # pairs; features as {name, source, func_list, ...} defs applied on
+    # the snmp_bin_size spine (evdb_binsize, config.conf.default)
+    snmp_vsources: tuple[tuple[str, str], ...] = ()
+    snmp_features: tuple[dict, ...] = ()
+    snmp_bin_size: str = "1m"
     # sinks
     warehouse: str = "/tmp/logdag_spark_warehouse"
     extra: dict = field(default_factory=dict)

@@ -228,14 +228,40 @@ def hamming64(a: Column, b: Column) -> Column:
 
 def simhash_near_dups(
     df: DataFrame, col: str = "text", id_col: str = "doc_id",
-    max_hamming: int = 3, n_tables: int = 4,
+    max_hamming: int = 3, n_tables: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming distance <= max_hamming.
+    """Near-dup pairs with Hamming distance <= max_hamming — EXACT
+    (recall 1.0 vs brute force, covered by tests).
 
-    Scale path: bucket on n_tables 16-bit slices of the signature (a pair
-    within distance 3 of a 64-bit signature matches at least one of 4
-    slices exactly — pigeonhole), verify with bit_count.
+    Scale path: split the 64-bit signature into ``n_tables`` disjoint
+    slices and bucket-join on each; by pigeonhole a pair differing in at
+    most ``max_hamming`` bits matches at least one slice exactly iff
+    ``n_tables > max_hamming`` — so tables default to ``max_hamming + 1``
+    and an insufficient explicit value raises instead of silently losing
+    candidates.  Candidates verify with one ``bit_count``.
     """
+    if n_tables is None:
+        n_tables = max_hamming + 1
+    if n_tables <= max_hamming:
+        raise ValueError(
+            f"pigeonhole needs n_tables > max_hamming "
+            f"(got {n_tables} <= {max_hamming}): distances "
+            f"{n_tables}..{max_hamming} would be silently incomplete"
+        )
+    if n_tables > 64:
+        raise ValueError("at most 64 slices of a 64-bit signature")
+    width = 64 // n_tables
+
+    def slice_expr(t: int):
+        start = t * width
+        w = width if t < n_tables - 1 else 64 - start
+        mask = (1 << w) - 1 if w < 64 else -1
+        return (
+            F.shiftrightunsigned("_sig", start)
+            .bitwiseAND(F.lit(mask).cast("long"))
+            .alias("slice")
+        )
+
     sig = simhash_signatures(df, col, id_col)
     slices = sig.select(
         "_id",
@@ -243,12 +269,7 @@ def simhash_near_dups(
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(t).alias("t"),
-                        F.shiftrightunsigned("_sig", t * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("slice"),
-                    )
+                    F.struct(F.lit(t).alias("t"), slice_expr(t))
                     for t in range(n_tables)
                 ]
             )

@@ -89,6 +89,53 @@ def f_ate_prune(edges: DataFrame, th: float) -> DataFrame:
     return edges.where(F.abs(F.col("weight")) >= th)
 
 
+def f_to_undirected(edges: DataFrame) -> DataFrame:
+    """to_undirected (showdag_filter.py:22-23): every edge becomes
+    undirected; reciprocal pairs collapse to one row (canonical
+    src_eid < dst_eid, max |weight| wins)."""
+    lo, hi = F.least("src_eid", "dst_eid"), F.greatest("src_eid", "dst_eid")
+    return (
+        edges.select(
+            "unit", lo.alias("src_eid"), hi.alias("dst_eid"), F.col("weight")
+        )
+        .groupBy("unit", "src_eid", "dst_eid")
+        .agg(F.max(F.abs("weight")).alias("weight"))
+        .withColumn("directed", F.lit(False))
+        .select("unit", "src_eid", "dst_eid", "directed", "weight")
+    )
+
+
+def f_subgraph_with_source(
+    edges: DataFrame, evdim: DataFrame, components: DataFrame, source: str
+) -> DataFrame:
+    """subgraph_with_log / subgraph_with_snmp (showdag_filter.py:74-105):
+    keep connected components containing at least one edge with an
+    endpoint of the given source class.  ``evdim`` needs a ``source``
+    column; ``components`` is :func:`connected_components` output
+    (unit, eid, component)."""
+    src_of = evdim.select("unit", "eid", "source")
+    ends = (
+        edges.select("unit", F.col("src_eid").alias("eid"))
+        .unionByName(edges.select("unit", F.col("dst_eid").alias("eid")))
+    )
+    hit_comps = (
+        ends.join(src_of, ["unit", "eid"])
+        .where(F.col("source") == source)
+        .join(components, ["unit", "eid"])
+        .select("unit", "component")
+        .distinct()
+    )
+    edge_comp = edges.join(
+        components.select(
+            "unit", F.col("eid").alias("src_eid"), "component"
+        ),
+        ["unit", "src_eid"],
+    )
+    return edge_comp.join(
+        F.broadcast(hit_comps), ["unit", "component"], "left_semi"
+    ).drop("component")
+
+
 def f_edge_search(
     e: DataFrame,
     gid: str | None = None,
@@ -284,6 +331,171 @@ def dag_similarity(edges: DataFrame, evdim: DataFrame) -> DataFrame:
     )
 
 
+def dag_vectors(
+    edges: DataFrame,
+    evdim: DataFrame,
+    space: str = "edge",
+    weight: str = "none",
+    smooth_idf: bool = True,
+) -> DataFrame:
+    """G10 vector spaces (edge_search.py:18-80, counter classes :205-420):
+    sparse per-unit DAG vectors ``(unit, feat, w)``.
+
+    * ``edge``   — undirected identifier pairs (EdgeCount)
+    * ``evpair`` — host-agnostic event pairs, i.e. key pairs
+      (EventPairCount: evdef.event() drops the host)
+    * ``node``   — node identifiers (NodeCount)
+
+    ``weight="idf"`` applies the reference's smoothed idf
+    (edge_search.py:296-305): log((N+1)/(df+1)) + 1 over units.
+    """
+    if space == "edge":
+        e = edges_with_nodes(edges, evdim)
+        feat = F.concat_ws(
+            "--", F.least("src_id", "dst_id"), F.greatest("src_id", "dst_id")
+        )
+        vec = e.select("unit", feat.alias("feat")).distinct()
+    elif space == "evpair":
+        e = edges_with_nodes(edges, evdim)
+        feat = F.concat_ws(
+            "--", F.least("src_key", "dst_key"), F.greatest("src_key", "dst_key")
+        )
+        vec = e.select("unit", feat.alias("feat")).distinct()
+    elif space == "node":
+        vec = evdim.select("unit", F.col("identifier").alias("feat")).distinct()
+    else:
+        raise ValueError(f"unknown DAG vector space {space!r}")
+    if weight == "none":
+        return vec.withColumn("w", F.lit(1.0))
+    if weight != "idf":
+        raise ValueError(f"unknown weight {weight!r}")
+    n_units = vec.select("unit").distinct().count()
+    df_ = vec.groupBy("feat").agg(F.countDistinct("unit").alias("df"))
+    if smooth_idf:
+        idf = F.log((F.lit(n_units) + 1) / (F.col("df") + 1)) + 1
+    else:
+        idf = F.log(F.lit(n_units) / F.col("df")) + 1
+    return vec.join(F.broadcast(df_.select("feat", idf.alias("w"))), "feat").select(
+        "unit", "feat", "w"
+    )
+
+
+def vector_cosine_matrix(vec: DataFrame) -> DataFrame:
+    """Pairwise cosine between unit vectors (any space/weight):
+    one self-join on feat, norms from a single aggregate."""
+    norm = vec.groupBy("unit").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = vec.select(F.col("unit").alias("unit1"), "feat", F.col("w").alias("w1"))
+    b = vec.select(F.col("unit").alias("unit2"), "feat", F.col("w").alias("w2"))
+    dots = (
+        a.join(b, "feat")
+        .where(F.col("unit1") < F.col("unit2"))
+        .groupBy("unit1", "unit2")
+        .agg(F.sum(F.col("w1") * F.col("w2")).alias("dot"))
+    )
+    n1 = norm.select(F.col("unit").alias("unit1"), F.col("nrm").alias("n1"))
+    n2 = norm.select(F.col("unit").alias("unit2"), F.col("nrm").alias("n2"))
+    return (
+        dots.join(F.broadcast(n1), "unit1")
+        .join(F.broadcast(n2), "unit2")
+        .withColumn("cosine", F.col("dot") / (F.col("n1") * F.col("n2")))
+        .select("unit1", "unit2", "dot", "cosine")
+    )
+
+
+def kmeans_units(
+    vec: DataFrame, k: int, max_iter: int = 20
+) -> DataFrame:
+    """G10 clustering (edge_search.py:93-121): Lloyd's k-means over the
+    sparse unit vectors, all frame-side (join + two aggregates per
+    round); deterministic init = the first k units in sorted order.
+    Output (unit, cluster), clusters renumbered by min member unit."""
+    units = [r["unit"] for r in vec.select("unit").distinct().orderBy("unit").collect()]
+    if k <= 0 or k > len(units):
+        raise ValueError(f"k={k} outside 1..{len(units)}")
+    spark = vec.sparkSession
+    centers = (
+        vec.join(
+            spark.createDataFrame(
+                [(u, i) for i, u in enumerate(units[:k])], "unit string, cid int"
+            ),
+            "unit",
+        )
+        .select("cid", "feat", F.col("w").alias("cw"))
+    )
+    assign = None
+    for _ in range(max_iter):
+        # squared distance = |u|^2 + |c|^2 - 2 dot(u, c); |u|^2 constant
+        # per unit, so argmin over cid needs only |c|^2 - 2 dot
+        c_norm = centers.groupBy("cid").agg(
+            F.sum(F.col("cw") * F.col("cw")).alias("c2")
+        )
+        dots = (
+            vec.join(centers, "feat")
+            .groupBy("unit", "cid")
+            .agg(F.sum(F.col("w") * F.col("cw")).alias("dot"))
+        )
+        scored = (
+            vec.select("unit").distinct()
+            .crossJoin(F.broadcast(c_norm))
+            .join(dots, ["unit", "cid"], "left")
+            .withColumn("score", F.col("c2") - 2 * F.coalesce("dot", F.lit(0.0)))
+        )
+        w_best = Window.partitionBy("unit").orderBy("score", "cid")
+        new_assign = (
+            scored.withColumn("rk", F.row_number().over(w_best))
+            .where(F.col("rk") == 1)
+            .select("unit", "cid")
+            .localCheckpoint(eager=True)
+        )
+        if assign is not None:
+            moved = (
+                new_assign.join(
+                    assign.withColumnRenamed("cid", "old"), "unit"
+                ).where(F.col("cid") != F.col("old")).count()
+            )
+            if moved == 0:
+                assign = new_assign
+                break
+        assign = new_assign
+        sizes = assign.groupBy("cid").agg(F.count("*").alias("sz"))
+        centers = (
+            vec.join(assign, "unit")
+            .groupBy("cid", "feat")
+            .agg(F.sum("w").alias("sw"))
+            .join(F.broadcast(sizes), "cid")
+            .select("cid", "feat", (F.col("sw") / F.col("sz")).alias("cw"))
+        )
+    # renumber by smallest member unit (stable, init-independent labels)
+    first = assign.groupBy("cid").agg(F.min("unit").alias("rep"))
+    w_rank = Window.orderBy("rep")
+    relabel = first.withColumn("cluster", F.row_number().over(w_rank) - 1)
+    return assign.join(F.broadcast(relabel), "cid").select("unit", "cluster")
+
+
+def cluster_common_components(vec: DataFrame, units: list[str]) -> DataFrame:
+    """G10 common components of a unit cluster
+    (edge_search.py:135-148): geometric mean of the units' L2-normalized
+    vectors per feature, descending — features absent in ANY member unit
+    gmean to 0 and drop out, so the result ranks what the cluster's DAGs
+    share.  ``similarity_causes`` = LIMIT topn of this."""
+    if len(units) < 2:
+        raise ValueError("need at least two units")
+    sel = vec.where(F.col("unit").isin(units))
+    nrm = sel.groupBy("unit").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    normed = sel.join(F.broadcast(nrm), "unit").withColumn(
+        "x", F.col("w") / F.col("nrm")
+    )
+    return (
+        normed.groupBy("feat")
+        .agg(F.count("*").alias("n"), F.avg(F.log("x")).alias("mean_log"))
+        .where(F.col("n") == len(units))  # zero anywhere -> gmean 0
+        .select("feat", F.exp("mean_log").alias("gmean"))
+        .orderBy(F.desc("gmean"), "feat")
+    )
+
+
 # ------------------------------------------------- A9 cube / O4 / W16
 
 
@@ -350,23 +562,82 @@ def temporal_edge_sort(
 # --------------------------------------------------------------- J8 match
 
 
+MATCH_RULES = ("all", "both", "either", "log-snmp")
+
+
 def match_trouble_edges(
     edges: DataFrame, evdim: DataFrame, trouble: DataFrame, rule: str = "both"
 ) -> DataFrame:
     """Match ground-truth event identifiers against edge endpoints
-    (match_edge.py:30-94).  ``trouble(tid, identifier)``; rules:
-    ``both`` = both endpoints in the ticket's set, ``either`` = at least
-    one."""
-    e = edges_with_nodes(edges, evdim)
-    t = F.broadcast(trouble)
-    src_hit = e.join(
-        t.withColumnRenamed("identifier", "src_id"), "src_id", "left_semi"
-    ).select("unit", "src_eid", "dst_eid")
-    dst_hit = e.join(
-        t.withColumnRenamed("identifier", "dst_id"), "dst_id", "left_semi"
-    ).select("unit", "src_eid", "dst_eid")
-    if rule == "both":
-        return src_hit.intersect(dst_hit)
-    if rule == "either":
-        return src_hit.union(dst_hit).distinct()
-    raise ValueError(f"unknown match rule {rule!r}")
+    per ticket (/root/reference/logdag/eval/match_edge.py:30-48).
+
+    ``trouble(tid, identifier)``.  Merged events (identifier =
+    "|"-joined member list, log2event.py:114-119) are expanded to their
+    members before matching — a merged event matches when ANY member is
+    in the ticket's set (``member_identifiers()`` semantics).  Rules:
+
+    * ``all``    — src OR dst endpoint matched
+    * ``both``   — src AND dst matched
+    * ``either`` — exactly one endpoint matched (XOR)
+    * ``log-snmp`` — both matched, or one matched and the other endpoint
+      is an SNMP-source event (needs a ``source`` column in evdim)
+
+    Output: (tid, unit, src_eid, dst_eid) — one row per (ticket, edge).
+    Plan: explode members (small dim), broadcast the ticket set, two
+    semi-join-shaped aggregations; the edge frame shuffles once.
+    """
+    if rule not in MATCH_RULES:
+        raise ValueError(f"unknown match rule {rule!r}")
+    members = evdim.select(
+        "unit", "eid", F.explode(F.split("identifier", r"\|")).alias("member")
+    )
+    t = F.broadcast(trouble.select("tid", F.col("identifier").alias("member")))
+    # (unit, eid, tid): this event matches this ticket
+    hits = members.join(t, "member").select("unit", "eid", "tid").distinct()
+    e = edges.select("unit", "src_eid", "dst_eid")
+    sh = hits.select("unit", F.col("eid").alias("src_eid"), "tid")
+    dh = hits.select("unit", F.col("eid").alias("dst_eid"), "tid")
+    src_hit = e.join(F.broadcast(sh), ["unit", "src_eid"]).withColumn(
+        "s", F.lit(True)
+    )
+    dst_hit = e.join(F.broadcast(dh), ["unit", "dst_eid"]).withColumn(
+        "d", F.lit(True)
+    )
+    flags = (
+        src_hit.join(
+            dst_hit, ["tid", "unit", "src_eid", "dst_eid"], "full_outer"
+        )
+        .select(
+            "tid", "unit", "src_eid", "dst_eid",
+            F.coalesce("s", F.lit(False)).alias("s"),
+            F.coalesce("d", F.lit(False)).alias("d"),
+        )
+    )
+    if rule == "all":
+        out = flags.where(F.col("s") | F.col("d"))
+    elif rule == "both":
+        out = flags.where(F.col("s") & F.col("d"))
+    elif rule == "either":
+        out = flags.where(F.col("s") != F.col("d"))
+    else:  # log-snmp
+        if "source" not in evdim.columns:
+            raise ValueError("log-snmp rule needs evdim.source")
+        snmp = evdim.where(F.col("source") == "snmp").select("unit", "eid")
+        ss = F.broadcast(
+            snmp.select("unit", F.col("eid").alias("src_eid"))
+            .withColumn("s_snmp", F.lit(True))
+        )
+        ds = F.broadcast(
+            snmp.select("unit", F.col("eid").alias("dst_eid"))
+            .withColumn("d_snmp", F.lit(True))
+        )
+        out = (
+            flags.join(ss, ["unit", "src_eid"], "left")
+            .join(ds, ["unit", "dst_eid"], "left")
+            .where(
+                (F.col("s") & F.col("d"))
+                | (F.col("s") & F.coalesce("d_snmp", F.lit(False)))
+                | (F.coalesce("s_snmp", F.lit(False)) & F.col("d"))
+            )
+        )
+    return out.select("tid", "unit", "src_eid", "dst_eid")

@@ -83,22 +83,18 @@ def convolve(radius: int, keys=("measure", "host", "key")) -> Column:
 
 
 def outlier(th: float = 2.0, keys=("measure", "host", "key")) -> Column:
-    """W7 (evpost.py:59-63): 1 if value > median * th."""
+    """W7 (evpost.py:59-63): 1 where value > median + th (additive
+    threshold, matching the reference exactly)."""
     med = F.expr("percentile(val, 0.5)").over(series_frame(keys))
-    return (F.col("val") > med * th).cast("double")
+    return (F.col("val") > med + th).cast("double")
 
 
-def outlier_median_absdev(th: float = 3.0, keys=("measure", "host", "key")) -> Column:
-    """W7b (evpost.py:66-71): 1 if |x - median| > th * MAD."""
-    w = series_frame(keys)
-    med = F.expr("percentile(val, 0.5)").over(w)
-    # MAD needs a second pass: percentile of |x - med|; express via a
-    # self-window on the deviation column — callers use outlier_mad(df)
-    raise NotImplementedError("use outlier_mad(df, th, keys) — needs two passes")
-
-
-def outlier_mad(df: DataFrame, th: float = 3.0, keys=("measure", "host", "key")) -> DataFrame:
-    """Two-pass MAD outlier indicator (W7b) as a DataFrame transform."""
+def outlier_mad(df: DataFrame, th: float = 2.0, keys=("measure", "host", "key")) -> DataFrame:
+    """W7b (evpost.py:66-71): 1 where value > MAD + th, with
+    MAD = median(|x - median(x)|).  The reference compares the RAW value
+    (not the deviation) against an additive threshold — reproduced
+    exactly.  Two window passes (median, then deviation median) as a
+    DataFrame transform."""
     w = series_frame(keys)
     med = F.expr("percentile(val, 0.5)").over(w)
     step = df.withColumn("_med", med).withColumn("_dev", F.abs(F.col("val") - F.col("_med")))
@@ -107,7 +103,7 @@ def outlier_mad(df: DataFrame, th: float = 3.0, keys=("measure", "host", "key"))
         step.withColumn("_mad", mad)
         .withColumn(
             "outlier",
-            (F.col("_dev") > F.col("_mad") * th).cast("double"),
+            (F.col("val") > F.col("_mad") + th).cast("double"),
         )
         .drop("_med", "_dev", "_mad")
     )
@@ -132,16 +128,119 @@ REGISTRY: dict[str, Callable] = {
 }
 
 
-def anomaly_kernel(df: DataFrame, method: str = "lof", keys=("measure", "host", "key")) -> DataFrame:
-    """W8 (evpost.py:74-104): sklearn LocalOutlierFactor / IsolationForest
-    per series via applyInPandas.  sklearn is not installed in this
-    environment; the Spark-side plumbing is real, the estimator is gated.
-    """
-    try:
-        import sklearn  # noqa: F401
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "sklearn unavailable in this environment; plumbing tested via "
-            "a deterministic stand-in in tests"
-        ) from e
-    raise NotImplementedError  # pragma: no cover
+def _lof_flags(xy, k: int = 20, offset: float = 1.5):
+    """Local Outlier Factor anomaly flags, numpy re-derivation of the
+    standard LOF definition the reference gets from sklearn
+    (evpost.py:74-86): k-distance -> reachability distance -> local
+    reachability density -> LOF ratio; anomaly where LOF > 1.5
+    (sklearn's contamination="auto" offset).  O(n^2) distance matrix per
+    series — series are bin-length vectors, so a few MB at most."""
+    import numpy as np
+
+    n = len(xy)
+    if n <= 1:
+        return np.zeros(n)
+    k = min(k, n - 1)
+    d = np.sqrt(((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1))
+    np.fill_diagonal(d, np.inf)
+    nn_idx = np.argpartition(d, k - 1, axis=1)[:, :k]
+    rows = np.arange(n)[:, None]
+    k_dist = np.partition(d, k - 1, axis=1)[:, k - 1]
+    reach = np.maximum(k_dist[nn_idx], d[rows, nn_idx])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lrd = 1.0 / reach.mean(axis=1)
+        lof = (lrd[nn_idx].mean(axis=1)) / lrd
+    # duplicate-heavy neighborhoods give inf/inf -> treat as inlier
+    lof = np.nan_to_num(lof, nan=1.0, posinf=np.inf, neginf=1.0)
+    return (lof > offset).astype(float)
+
+
+def _iforest_flags(xy, seed: int, n_trees: int = 100, max_samples: int = 256):
+    """Isolation-forest anomaly flags, numpy re-derivation of the
+    reference's sklearn IsolationForest (evpost.py:89-104): mean
+    isolation path length vs the BST average-path normalizer c(psi);
+    anomaly where the normalized score 2^(-E[h]/c) > 0.5 — exactly
+    sklearn's contamination="auto" threshold (offset_ = -0.5).
+    Deterministic per series via the caller-supplied seed."""
+    import numpy as np
+
+    n = len(xy)
+    if n == 0:
+        return np.zeros(0)
+    rng = np.random.RandomState(seed & 0x7FFFFFFF)
+    psi = min(max_samples, n)
+
+    def c(m):
+        if m <= 1:
+            return 0.0
+        h = np.log(m - 1) + 0.5772156649
+        return 2.0 * h - 2.0 * (m - 1) / m
+
+    max_depth = int(np.ceil(np.log2(max(psi, 2))))
+    depths = np.zeros(n)
+
+    def grow(idx_tree, idx_all, depth):
+        # idx_tree: sample indices defining splits; idx_all: every point
+        # routed through this node (all points get a path length)
+        if depth >= max_depth or len(idx_tree) <= 1:
+            depths[idx_all] += depth + c(len(idx_tree))
+            return
+        f = rng.randint(xy.shape[1])
+        lo, hi = xy[idx_tree, f].min(), xy[idx_tree, f].max()
+        if lo == hi:
+            depths[idx_all] += depth + c(len(idx_tree))
+            return
+        split = rng.uniform(lo, hi)
+        lmask_t = xy[idx_tree, f] < split
+        lmask_a = xy[idx_all, f] < split
+        grow(idx_tree[lmask_t], idx_all[lmask_a], depth + 1)
+        grow(idx_tree[~lmask_t], idx_all[~lmask_a], depth + 1)
+
+    all_idx = np.arange(n)
+    for _ in range(n_trees):
+        sample = rng.choice(n, size=psi, replace=False) if n > psi else all_idx
+        grow(sample, all_idx, 0)
+    mean_depth = depths / n_trees
+    scores = 2.0 ** (-mean_depth / c(psi))
+    return (scores > 0.5).astype(float)
+
+
+def anomaly_kernel(
+    df: DataFrame, method: str = "lof", keys=("measure", "host", "key")
+) -> DataFrame:
+    """W8 (evpost.py:74-104): per-series anomaly flags via LOF or
+    isolation forest over the (value, first-difference) plane — the
+    reference's feature construction (evpost.py:76-79, 95-98) — as a
+    grouped-map kernel.  ``val`` is replaced by the 0/1 anomaly flag.
+    numpy re-derivations (sklearn is absent here); deterministic: the
+    isolation forest seeds from the series key."""
+    import pandas as pd
+    import zlib
+
+    if method not in ("lof", "iforest"):
+        raise ValueError(f"unknown anomaly method {method!r}")
+    schema = df.schema
+    key_list = list(keys)
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("ts").reset_index(drop=True)
+        x = pdf["val"].to_numpy(dtype=float)
+        y = np.diff(x, prepend=x[0] if len(x) else 0.0)
+        xy = np.column_stack([x, y])
+        if method == "lof":
+            flags = _lof_flags(xy)
+        else:
+            if not (x != 0).any():
+                # all-zero series: IF would flag everything (evpost.py:90-94)
+                flags = np.zeros(len(x))
+            else:
+                seed = zlib.crc32(
+                    "|".join(str(pdf[k].iloc[0]) for k in key_list).encode()
+                )
+                flags = _iforest_flags(xy, seed)
+        pdf["val"] = flags
+        return pdf
+
+    return df.groupBy(*key_list).applyInPandas(kern, schema)

@@ -20,10 +20,17 @@ from pyspark.sql import functions as F
 
 
 def enrich(parsed: DataFrame, host_meta: DataFrame, template_dim: DataFrame) -> DataFrame:
-    """Add ``ts, host, area, group`` columns to the parsed token table."""
+    """Add ``ts, host, area, group`` columns to the parsed token table.
+
+    doc_id layout is fixed-width at both ends ("{epoch_ms:013d}-{host}-
+    {seq:08d}"), so extraction is pure ``substring`` arithmetic — no
+    regex/split in the 10^12-row map stage (string split expressions
+    compile a regex and allocate an array per row)."""
     with_keys = parsed.withColumn(
-        "ts", F.timestamp_millis(F.split_part("doc_id", F.lit("-"), F.lit(1)).cast("long"))
-    ).withColumn("host", F.split_part("doc_id", F.lit("-"), F.lit(2)))
+        "ts", F.timestamp_millis(F.substring("doc_id", 1, 13).cast("long"))
+    ).withColumn(
+        "host", F.expr("substring(doc_id, 15, length(doc_id) - 23)")
+    )
     out = with_keys.join(F.broadcast(host_meta.select("host", "area")), "host", "left")
     out = out.join(
         F.broadcast(template_dim.select("gid", "group")), "gid", "left"

@@ -22,21 +22,22 @@ from logdag_spark.config import PipelineConfig
 from logdag_spark.io.catalog import Catalog
 from logdag_spark.pipeline.aggregate import discretize
 from logdag_spark.pipeline.correlate import (
+    UNIT_HOSTS_SCHEMA,
     assign_units,
     event_dim,
     fisherz_edges,
-    make_unit_hosts,
     merge_syncevents,
     pairwise_corr,
     unit_matrix,
-    unit_nbins_df,
+    unit_nbins_rows,
+    unit_specs,
 )
 from logdag_spark.pipeline.enrich import enrich
 from logdag_spark.pipeline.parse import parse_tokens, parse_tokens_pandas
 from logdag_spark.pipeline.pc import orient_depth0_edges, pc_edges
 from logdag_spark.pipeline.pknowledge import build_noedge, candidate_pairs
 from logdag_spark.pipeline.route import route
-from logdag_spark.pipeline.series_filter import filter_series
+from logdag_spark.pipeline.series_filter import filter_series, weighted_output_ok
 
 
 @dataclass
@@ -69,7 +70,7 @@ def run_pipeline(
     dt_range: tuple[datetime, datetime],
     cfg: PipelineConfig | None = None,
     catalog: Catalog | None = None,
-    use_pandas_parse: bool = False,
+    use_pandas_parse: bool = True,
     apply_filters: bool = True,
     pk_context: dict | None = None,
     checkpoint_stages: tuple[str, ...] = (
@@ -106,12 +107,28 @@ def run_pipeline(
         # this barrier; without one, localCheckpoint is the in-memory
         # equivalent.
         routed = routed.localCheckpoint(eager=True)
-    if apply_filters and cfg.filter_rules:
-        filtered = filter_series(
+    # SNMP feature generation (J5 + evpost chain): replaces raw SNMP
+    # source measures with configured feature measures before filtering
+    # (the reference's make-evdb writes features, not raw samples —
+    # evgen_snmp.py:421-447); identity when unconfigured
+    if cfg.snmp_features or cfg.snmp_vsources:
+        from logdag_spark.pipeline.snmp_features import snmp_feature_stage
+
+        routed_in = snmp_feature_stage(
             routed.where(F.col("measure") != "unparsed"), dt_range, cfg
         )
     else:
-        filtered = routed.where(F.col("measure") != "unparsed")
+        routed_in = routed.where(F.col("measure") != "unparsed")
+
+    if apply_filters and cfg.filter_rules:
+        # weighted output: surviving series leave the filter as fine-bin
+        # (ts, weight) rows — exact downstream aggregates (the only
+        # consumer is discretize) with |series| x |fine bins| rows instead
+        # of the raw event count entering the next shuffle
+        mode = "weighted" if weighted_output_ok(cfg, dt_range) else "events"
+        filtered = filter_series(routed_in, dt_range, cfg, output=mode)
+    else:
+        filtered = routed_in
 
     binned = discretize(
         filtered, dt_range, cfg.bin_size, cfg.ci_bin_method,
@@ -124,7 +141,14 @@ def run_pipeline(
     # whole parse->filter->aggregate tree once each.
     binned = ck_or_cache(binned, "binned")
 
-    uh = make_unit_hosts(spark, dt_range, cfg, host_meta)
+    # unit bookkeeping is driver-side python (|windows| x |hosts| rows):
+    # nbins and the grouped-kernel unit meta derive from the same specs
+    # with zero extra Spark jobs
+    hosts = [
+        (r["host"], r["area"]) for r in host_meta.select("host", "area").collect()
+    ]
+    specs = unit_specs(dt_range, cfg, hosts)
+    uh = spark.createDataFrame(specs, UNIT_HOSTS_SCHEMA)
     long = assign_units(binned, uh)
     evdim = event_dim(long)
     mat = unit_matrix(long, evdim)
@@ -133,10 +157,11 @@ def run_pipeline(
     evdim = ck_or_cache(evdim, "event_dim")
     mat = ck_or_cache(mat, "unit_matrix")
 
-    nb = unit_nbins_df(
-        spark, uh, cfg.bin_size, cfg.ci_bin_method,
+    nb_rows = unit_nbins_rows(
+        specs, cfg.bin_size, cfg.ci_bin_method,
         cfg.bin_diff if cfg.ci_bin_method != "sequential" else None,
     )
+    nb = spark.createDataFrame(nb_rows, "unit string, n long")
 
     # prior-knowledge pruning (G7): the reference applies the configured
     # rule set to every unit before every algorithm
@@ -156,9 +181,10 @@ def run_pipeline(
     bin_diff = cfg.bin_diff if cfg.ci_bin_method != "sequential" else None
 
     def _unit_meta():
+        # naive datetimes are UTC by convention (pc._to_utc_ms handles both)
+        nmap = dict(nb_rows)
         return {
-            r["unit"]: (r["dts"], int(r["n"]))
-            for r in uh.select("unit", "dts").distinct().join(nb, "unit").collect()
+            unit: (dts, int(nmap[unit])) for unit, _h, _a, dts, _dte in specs
         }
 
     if cfg.cause_algorithm == "pc-corr":

@@ -43,6 +43,7 @@ from typing import Iterable
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from logdag_spark.config import PipelineConfig, str2dur
 
@@ -262,12 +263,136 @@ class SeriesFilter:
                 raise ValueError(f"unknown filter rule {rule!r}")
         return cur_off, cur_cnt
 
+    def apply_binned(
+        self,
+        boff: np.ndarray,
+        w: np.ndarray,
+        raw_total: float,
+        raw_span: float,
+    ) -> tuple[str, tuple[np.ndarray, np.ndarray] | None]:
+        """Chain over a fine-binned series; exact twin of :meth:`apply`.
+
+        Input is the series pre-aggregated to fine bins whose size divides
+        every rule's bin size and sample boundary (see
+        :func:`fine_bin_ms`), plus the RAW total count and offset span —
+        the only two statistics any rule reads at sub-bin resolution
+        (``sizetest``).  Every other rule consumes ``_bin_counts`` output,
+        which is bit-identical on fine-binned input because
+        ``floor(floor(off/f)*f / B) == floor(off/B)`` when ``f | B`` and
+        sample-truncation boundaries are multiples of ``f``.
+
+        Returns (verdict, payload): ``("raw", None)`` — series passes with
+        its raw events; ``("drop", None)``; ``("replace", (off, cnt))`` —
+        the Fourier remainder replaced the series.
+        """
+        cur_off, cur_cnt = boff, w
+        is_raw = True
+        for rule in self.rules:
+            if rule == "sizetest":
+                if is_raw:
+                    ok = not (raw_total < self.pre_count or raw_span < self.pre_term_s)
+                else:
+                    ok = self.sizetest(cur_off, cur_cnt)
+                if not ok:
+                    return "raw", None  # keep raw events, skip later rules
+            elif rule == "filter_periodic":
+                res = self.filter_periodic(cur_off, cur_cnt)
+                if res is not None:
+                    cur_off, cur_cnt = res
+                    is_raw = False
+                    if len(cur_off) == 0:
+                        return "drop", None
+            elif rule == "remove_periodic":
+                if self.remove_periodic(cur_off, cur_cnt):
+                    return "drop", None
+            elif rule == "remove_corr":
+                if self.remove_corr(cur_off, cur_cnt):
+                    return "drop", None
+            elif rule == "remove_linear":
+                if self.remove_linear(cur_off, cur_cnt):
+                    return "drop", None
+            else:
+                raise ValueError(f"unknown filter rule {rule!r}")
+        if is_raw:
+            return "raw", None
+        return "replace", (cur_off, cur_cnt)
+
+
+SERIES_COLS = ("measure", "host", "key", "area", "group")
+_ROW_SCHEMA = (
+    "measure string, host string, key string, area string, "
+    "group string, ts timestamp, val double"
+)
+_VERDICT_SCHEMA = (
+    "measure string, host string, key string, area string, "
+    "group string, verdict string, ts timestamp, val double"
+)
+
+
+def _naive(t0: datetime) -> pd.Timestamp:
+    ts = pd.Timestamp(t0)
+    return ts.tz_localize(None) if ts.tzinfo else ts
+
+
+def fine_bin_ms(cfg: PipelineConfig, term: timedelta) -> int | None:
+    """Largest bin (ms) at which pre-aggregated input is EXACTLY
+    equivalent to raw input for the configured filter chain: the gcd of
+    every rule's bin size and every Fourier sample-truncation boundary.
+    None when some duration isn't an integral number of milliseconds
+    (never under the reference's config grammar)."""
+    term_ms = int(term.total_seconds() * 1000)
+    vals: list[float] = []
+    rules = set(cfg.filter_rules)
+    if rules & {"filter_periodic", "remove_periodic", "remove_corr"}:
+        for sample, bin_s in cfg.fourier_sample_rule:
+            vals.append(str2dur(bin_s).total_seconds() * 1000)
+            boundary = term_ms - str2dur(sample).total_seconds() * 1000
+            if boundary > 0:
+                vals.append(boundary)
+    if "remove_linear" in rules:
+        vals.append(str2dur(cfg.linear_sample_rule_bin).total_seconds() * 1000)
+    if not vals:
+        return 1000
+    ivals = [int(v) for v in vals]
+    if any(i != v or i <= 0 for i, v in zip(ivals, vals)):
+        return None
+    g = 0
+    for i in ivals:
+        g = math.gcd(g, i)
+    return g
+
+
+def weighted_output_ok(
+    cfg: PipelineConfig, dt_range: tuple[datetime, datetime]
+) -> bool:
+    """True when ``filter_series(..., output="weighted")`` is exactly
+    equivalent to raw passthrough + discretize: the fine bin must divide
+    the analysis term (so in-range at bin level == in-range at raw level)
+    and every downstream bin boundary (t0-anchored, aggregate.discretize).
+    """
+    f = fine_bin_ms(cfg, dt_range[1] - dt_range[0])
+    if f is None:
+        return False
+    term_ms = int((dt_range[1] - dt_range[0]).total_seconds() * 1000)
+    size = int(cfg.bin_size.total_seconds() * 1000)
+    slide = int(cfg.bin_diff.total_seconds() * 1000)
+    if term_ms % f or size % f:
+        return False
+    if cfg.ci_bin_method == "sequential":
+        return True
+    if cfg.ci_bin_method == "slide":
+        return slide % f == 0
+    if cfg.ci_bin_method == "radius":
+        return slide % f == 0 and (slide // 2) % f == 0 and (size // 2) % f == 0
+    return False
+
 
 def filter_series(
     routed: DataFrame,
     dt_range: tuple[datetime, datetime],
     cfg: PipelineConfig,
     measures: Iterable[str] = ("log_feature",),
+    output: str = "events",
 ) -> DataFrame:
     """Apply the filter chain per (measure, host, key) series.
 
@@ -275,15 +400,115 @@ def filter_series(
     only log events, /root/reference/logdag/source/evgen_log.py:147; SNMP
     series go through the evpost feature functions instead —
     ``operators/windows.py``).
+
+    Scale shape: the raw event stream NEVER crosses into Python.  Events
+    are pre-aggregated JVM-side to the fine bin (:func:`fine_bin_ms`, 10 s
+    under the default config) with map-side partial aggregation — one
+    shuffle carrying at most |series| x |fine bins| rows — and the grouped
+    kernel sees only those weighted bins plus exact raw (count, span)
+    stats.  Equivalence to the raw-exchange form is exact (see
+    :meth:`SeriesFilter.apply_binned`) and covered by tests against
+    :func:`filter_series_rows`.
+
+    ``output="events"``: surviving series keep their RAW rows (a broadcast
+    semi-join of the tiny keep-list against the event stream); Fourier
+    remainders come back as bin-start rows — byte-identical to the raw
+    kernel.  ``output="weighted"``: ALL surviving series return as
+    weighted fine-bin rows (ts at bin starts, val = bin count) — identical
+    downstream *aggregates* whenever :func:`weighted_output_ok`; used by
+    the pipeline so the post-filter stream entering discretize is
+    |series| x |fine bins| instead of the raw event count.
     """
+    if output not in ("events", "weighted"):
+        raise ValueError(f"unknown output mode {output!r}")
+    term = dt_range[1] - dt_range[0]
+    fine = fine_bin_ms(cfg, term)
+    if fine is None:
+        if output != "events":
+            raise ValueError("weighted output needs integral-ms rule bins")
+        return filter_series_rows(routed, dt_range, cfg, measures)
+
+    t0_ms = int(dt_range[0].timestamp() * 1000)
+    term_s = term.total_seconds()
+    sf = SeriesFilter(cfg, term)
+    measures = list(measures)
+    t0_naive = _naive(dt_range[0])
+    weighted = output == "weighted"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("boff")
+        boff = pdf["boff"].to_numpy(dtype="int64") / 1000.0
+        w = pdf["w"].to_numpy(dtype=float)
+        verdict, repl = sf.apply_binned(
+            boff, w, float(w.sum()), float(pdf["mx"].max() - pdf["mn"].min())
+        )
+        head = pdf.iloc[0]
+        if verdict == "drop":
+            out_off = out_cnt = np.array([])
+        elif verdict == "raw":
+            if not weighted:
+                return pd.DataFrame(
+                    {
+                        "measure": [head["measure"]],
+                        "host": [head["host"]],
+                        "key": [head["key"]],
+                        "area": [head["area"]],
+                        "group": [head["group"]],
+                        "verdict": ["raw"],
+                        "ts": [pd.NaT],
+                        "val": [np.nan],
+                    }
+                )
+            keep = (boff >= 0) & (boff < term_s)
+            out_off, out_cnt = boff[keep], w[keep]
+        else:
+            out_off, out_cnt = repl
+        return pd.DataFrame(
+            {
+                "measure": head["measure"],
+                "host": head["host"],
+                "key": head["key"],
+                "area": head["area"],
+                "group": head["group"],
+                "verdict": "replace",
+                "ts": t0_naive + pd.to_timedelta(out_off, unit="s"),
+                "val": out_cnt,
+            }
+        )
+
+    target = routed.where(routed["measure"].isin(measures))
+    rest = routed.where(~routed["measure"].isin(measures))
+    off_ms = F.unix_millis(F.col("ts")) - F.lit(t0_ms)
+    boff = (off_ms - F.pmod(off_ms, F.lit(fine))).alias("boff")
+    pre = target.groupBy(*SERIES_COLS, boff).agg(
+        F.sum("val").alias("w"),
+        (F.min(off_ms) / 1000.0).alias("mn"),
+        (F.max(off_ms) / 1000.0).alias("mx"),
+    )
+    out = pre.groupBy(*SERIES_COLS).applyInPandas(kernel, _VERDICT_SCHEMA)
+    if weighted:
+        return out.drop("verdict").unionByName(rest)
+    out = out.cache()  # tiny: one row per raw-kept series + remainder bins
+    raw_keys = out.where(F.col("verdict") == "raw").select(*SERIES_COLS)
+    kept_raw = target.join(F.broadcast(raw_keys), list(SERIES_COLS), "left_semi")
+    replaced = out.where(F.col("verdict") == "replace").drop("verdict")
+    return kept_raw.unionByName(replaced).unionByName(rest)
+
+
+def filter_series_rows(
+    routed: DataFrame,
+    dt_range: tuple[datetime, datetime],
+    cfg: PipelineConfig,
+    measures: Iterable[str] = ("log_feature",),
+) -> DataFrame:
+    """Raw-exchange reference form: ship every event row of the target
+    measures through Arrow into the per-series kernel.  Semantically the
+    oracle for :func:`filter_series`; O(|events|) Python exchange, so the
+    pipeline uses the pre-binned form instead."""
     t0 = dt_range[0]
     sf = SeriesFilter(cfg, dt_range[1] - dt_range[0])
     measures = list(measures)
-    schema = (
-        "measure string, host string, key string, area string, "
-        "group string, ts timestamp, val double"
-    )
-    t0_naive = pd.Timestamp(t0).tz_localize(None) if pd.Timestamp(t0).tzinfo else pd.Timestamp(t0)
+    t0_naive = _naive(t0)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         off = (pdf["ts"] - t0_naive).dt.total_seconds().to_numpy()
@@ -306,5 +531,7 @@ def filter_series(
 
     target = routed.where(routed["measure"].isin(measures))
     rest = routed.where(~routed["measure"].isin(measures))
-    filtered = target.groupBy("measure", "host", "key").applyInPandas(kernel, schema)
+    filtered = target.groupBy("measure", "host", "key").applyInPandas(
+        kernel, _ROW_SCHEMA
+    )
     return filtered.unionByName(rest)

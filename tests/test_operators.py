@@ -230,8 +230,55 @@ def test_dag_similarity_and_trouble(spark, small_dag):
     )
     m = graphops.match_trouble_edges(edges, evdim, trouble, rule="both")
     assert m.count() == 2  # 0->1 in both units
+    # either = exactly-one-endpoint (match_edge.py:40-41 XOR semantics)
     m2 = graphops.match_trouble_edges(edges, evdim, trouble, rule="either")
-    assert m2.count() >= 3
+    assert {(r["unit"], r["src_eid"], r["dst_eid"]) for r in m2.collect()} == {
+        ("u1", 1, 2)
+    }
+    m3 = graphops.match_trouble_edges(edges, evdim, trouble, rule="all")
+    assert m3.count() == 3
+
+
+def test_match_rules_members_and_logsnmp(spark):
+    """Merged-event member expansion + the log-snmp rule
+    (match_edge.py:30-48)."""
+    edges = spark.createDataFrame(
+        [("u", 0, 1, True, 0.9), ("u", 1, 2, True, 0.5), ("u", 2, 3, True, 0.4)],
+        "unit string, src_eid long, dst_eid long, directed boolean, weight double",
+    )
+    evdim = spark.createDataFrame(
+        [
+            ("u", 0, "h0:a|h0:b", "h0", "log"),   # merged event
+            ("u", 1, "h1:c", "h1", "log"),
+            ("u", 2, "h2:d", "h2", "snmp"),
+            ("u", 3, "h3:e", "h3", "snmp"),
+        ],
+        "unit string, eid long, identifier string, host string, source string",
+    )
+    trouble = spark.createDataFrame(
+        [(7, "h0:b"), (7, "h1:c")], "tid int, identifier string"
+    )
+    # member expansion: ticket names h0:b, a MEMBER of merged event 0
+    got = {
+        (r["tid"], r["src_eid"], r["dst_eid"])
+        for r in graphops.match_trouble_edges(
+            edges, evdim, trouble, rule="both"
+        ).collect()
+    }
+    assert got == {(7, 0, 1)}
+    # log-snmp: matched-and-snmp endpoints count as matched
+    got_ls = {
+        (r["src_eid"], r["dst_eid"])
+        for r in graphops.match_trouble_edges(
+            edges, evdim, trouble, rule="log-snmp"
+        ).collect()
+    }
+    # 0->1 (both matched), 1->2 (src matched, dst snmp); 2->3 has no match
+    assert got_ls == {(0, 1), (1, 2)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown match rule"):
+        graphops.match_trouble_edges(edges, evdim, trouble, rule="bogus")
 
 
 # ------------------------------------------------------------ multimodal
@@ -251,3 +298,106 @@ def test_multimodal_plumbing(spark):
     vid = media.where(F.col("kind") == "video").collect()
     want = sum(max((r["duration_ms"] - 1) // 1000, 0) + 1 for r in vid)
     assert plan.count() == want
+
+
+def test_to_undirected_and_subgraph_source(spark, small_dag):
+    edges, evdim = small_dag
+    und = graphops.f_to_undirected(edges)
+    rows = {(r["unit"], r["src_eid"], r["dst_eid"]) for r in und.collect()}
+    assert ("u1", 0, 1) in rows and not any(r["directed"] for r in und.collect())
+    # reciprocal pair collapses to one canonical row
+    recip = spark.createDataFrame(
+        [("u", 1, 0, True, 0.3), ("u", 0, 1, True, 0.9)],
+        "unit string, src_eid long, dst_eid long, directed boolean, weight double",
+    )
+    u2 = graphops.f_to_undirected(recip).collect()
+    assert len(u2) == 1 and u2[0]["src_eid"] == 0 and u2[0]["weight"] == 0.9
+
+    # subgraph_with_source: u1 components {0,1,2}, {3,4}, {5}
+    src_dim = evdim.withColumn(
+        "source", F.when(F.col("eid") == 4, "snmp").otherwise("log")
+    )
+    comp = graphops.connected_components(edges, evdim)
+    snmp_sub = graphops.f_subgraph_with_source(
+        edges.where(F.col("unit") == "u1"), src_dim, comp, "snmp"
+    )
+    got = {(r["src_eid"], r["dst_eid"]) for r in snmp_sub.collect()}
+    assert got == {(3, 4)}  # only the component touching the snmp event
+    log_sub = graphops.f_subgraph_with_source(
+        edges.where(F.col("unit") == "u1"), src_dim, comp, "log"
+    )
+    assert log_sub.count() == 3  # both components have log endpoints
+
+
+# --------------------------------------------------------------- W8 anomaly
+
+
+def _series_df(spark, vals):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("m", "h", "k", t0 + timedelta(minutes=i), float(v))
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(
+        rows, "measure string, host string, key string, ts timestamp, val double"
+    )
+
+
+def test_anomaly_lof_flags_isolated_spike(spark):
+    from logdag_spark.operators.windows import anomaly_kernel
+
+    vals = [1.0, 1.1, 0.9, 1.0, 1.05, 0.95] * 20 + [50.0] + [1.0] * 19
+    df = _series_df(spark, vals)
+    out = anomaly_kernel(df, "lof").orderBy("ts").collect()
+    flags = [r["val"] for r in out]
+    assert flags[120] == 1.0  # the spike
+    assert sum(flags) <= 4  # dense carpet stays inlier
+
+
+def test_anomaly_iforest_flags_spike_and_zero_series(spark):
+    from logdag_spark.operators.windows import anomaly_kernel
+
+    vals = [1.0, 1.1, 0.9, 1.0] * 30 + [80.0] + [1.0] * 19
+    df = _series_df(spark, vals)
+    out = anomaly_kernel(df, "iforest").orderBy("ts").collect()
+    flags = [r["val"] for r in out]
+    assert flags[120] == 1.0
+    assert sum(flags) < 0.2 * len(flags)
+    # all-zero series: no anomalies by definition (evpost.py:90-94)
+    zero = anomaly_kernel(_series_df(spark, [0.0] * 50), "iforest").collect()
+    assert all(r["val"] == 0.0 for r in zero)
+    # determinism
+    out2 = anomaly_kernel(df, "iforest").orderBy("ts").collect()
+    assert [r["val"] for r in out2] == flags
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown anomaly method"):
+        anomaly_kernel(df, "bogus")
+
+
+def test_simhash_recall_exact_vs_bruteforce(spark, docs_with_dups):
+    """Pigeonhole bucketing must have recall 1.0 vs all-pairs Hamming."""
+    from logdag_spark.operators.dedup import hamming64, simhash_signatures
+
+    max_h = 8
+    got = {
+        (r["id1"], r["id2"])
+        for r in dedup.simhash_near_dups(
+            docs_with_dups, max_hamming=max_h
+        ).collect()
+    }
+    sig = simhash_signatures(docs_with_dups).cache()
+    a = sig.toDF("id1", "s1")
+    b = sig.toDF("id2", "s2")
+    want = {
+        (r["id1"], r["id2"])
+        for r in a.join(b, F.col("id1") < F.col("id2"))
+        .where(hamming64(F.col("s1"), F.col("s2")) <= max_h)
+        .collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_near_dups(docs_with_dups, max_hamming=8, n_tables=4)

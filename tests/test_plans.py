@@ -34,15 +34,17 @@ def _tokens(spark):
     return fx.contract(fx.gen_tokens(spark, scale=0.02)).localCheckpoint(eager=True)
 
 
-def test_parse_is_map_only_projection(spark):
-    """Parse is a single literal-expression Project: no join machinery at
-    all, no shuffle — the strongest possible shape for a 10^12-row map
-    stage."""
+def test_parse_is_broadcast_probe_no_fact_shuffle(spark):
+    """Parse is a chain of BROADCAST hash joins on (n_tok, masked
+    tokens): the fact side never shuffles, per-row cost is O(masks per
+    length) hash probes independent of dictionary size, and every join
+    is a small JIT-compiled method (a one-expression CASE chain blows
+    the 8KB JIT limit at real dictionary sizes)."""
     parsed = parse_tokens(_tokens(spark), fx.template_dim(spark))
     plan = _plan(parsed)
-    assert "Join" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "NestedLoop" not in plan
     assert _n_shuffles(plan) == 0
-    assert "Project" in plan
 
 
 def test_enrich_joins_are_broadcast(spark):

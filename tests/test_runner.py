@@ -172,3 +172,24 @@ def test_checkpoint_resume(spark, inputs, tmp_path):
     metrics = {r["stage"]: r["rows"] for r in cat.stage_metrics().collect()}
     assert metrics["events_ts"] == labeled.count()
     assert metrics["dag_edges"] == n_edges
+
+
+def test_catalog_partial_write_not_resumable(spark, tmp_path):
+    """A directory with part-files but no commit marker must be treated
+    as absent (crashed write) — read_or_run rewrites it (ADVICE r1)."""
+    import os
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(10).withColumnRenamed("id", "v")
+    out = cat.write(df, "t1")
+    assert cat.exists("t1") and out.count() == 10
+    # simulate a crash: remove both commit markers, keep part files
+    for marker in ("_SUCCESS", "_LOGDAG_COMMITTED"):
+        p = os.path.join(cat.path("t1"), marker)
+        if os.path.exists(p):
+            os.remove(p)
+    assert not cat.exists("t1")
+    ran = []
+    cat.read_or_run("t1", lambda: (ran.append(1), df.where("v < 5"))[1])
+    assert ran == [1]  # stage re-ran instead of resuming from partial data
+    assert cat.exists("t1") and cat.read("t1").count() == 5

@@ -144,3 +144,62 @@ def test_pipeline_filters_injected_series(spark):
     assert out_cnt <= 0.1 * in_cnt, f"linear gid kept {out_cnt}/{in_cnt} events"
     assert {0, 1, 2} <= kept, "bursty heavy hitters were wrongly dropped"
     assert {20, 21} <= kept, "correlated pair events must survive filtering"
+
+
+@pytest.fixture(scope="module")
+def routed_log(spark):
+    tdim, hmeta = fx.template_dim(spark), fx.host_meta(spark)
+    df = fx.gen_tokens(spark, scale=0.3)
+    routed = route(enrich(parse_tokens(fx.contract(df), tdim), hmeta, tdim))
+    return routed.where(F.col("measure") != "unparsed").localCheckpoint(eager=True)
+
+
+def test_binned_exchange_matches_raw_exchange(spark, routed_log):
+    """The pre-binned fast path must be row-identical to the raw-exchange
+    oracle (filter_series_rows) — raw-kept series keep raw timestamps,
+    Fourier remainders land on the same bin starts, drops agree."""
+    from logdag_spark.pipeline.series_filter import filter_series_rows
+
+    dt_range = (DEFAULT_T0, DEFAULT_T0 + TERM)
+    fast = filter_series(routed_log, dt_range, CFG, output="events")
+    slow = filter_series_rows(routed_log, dt_range, CFG)
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+
+
+def test_weighted_output_discretize_parity(spark, routed_log):
+    """output="weighted" feeds discretize |series| x |fine bins| rows but
+    must produce bit-identical binned aggregates."""
+    from logdag_spark.pipeline.aggregate import discretize
+    from logdag_spark.pipeline.series_filter import (
+        filter_series_rows,
+        weighted_output_ok,
+    )
+
+    dt_range = (DEFAULT_T0, DEFAULT_T0 + TERM)
+    assert weighted_output_ok(CFG, dt_range)
+    w = filter_series(routed_log, dt_range, CFG, output="weighted")
+    ref = filter_series_rows(routed_log, dt_range, CFG)
+    got = discretize(w, dt_range, CFG.bin_size)
+    want = discretize(ref, dt_range, CFG.bin_size)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_weighted_output_ok_gates():
+    from logdag_spark.pipeline.series_filter import fine_bin_ms, weighted_output_ok
+
+    dt_range = (DEFAULT_T0, DEFAULT_T0 + TERM)
+    assert fine_bin_ms(CFG, TERM) == 10_000  # gcd(10s fourier, 10s linear)
+    # 15s discretize bin: 10s fine bin doesn't divide it -> not exact
+    assert not weighted_output_ok(PipelineConfig(ci_bin_size="15s"), dt_range)
+    assert weighted_output_ok(PipelineConfig(ci_bin_size="30s"), dt_range)
+    # truncated fourier sample: boundary enters the gcd
+    cfg = PipelineConfig(fourier_sample_rule=(("23h", "10s"),))
+    assert fine_bin_ms(cfg, TERM) == math_gcd(3600_000, 10_000)
+
+
+def math_gcd(a, b):
+    import math
+
+    return math.gcd(a, b)
