@@ -18,7 +18,7 @@ Prints ONE JSON line:
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_SCALE (default 2000),
-SPARK_GRAFT_SCALING (default 1), SPARK_GRAFT_BENCH_TRIALS (default 3).
+SPARK_GRAFT_SCALING (default 1), SPARK_GRAFT_BENCH_TRIALS (default 4).
 """
 
 from __future__ import annotations
@@ -41,7 +41,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # reflects job-launch latency more than engine throughput
 BENCH_SCALE = float(os.environ.get("SPARK_GRAFT_BENCH_SCALE", "2000"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
-TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "4"))
 # N -> 4N scaling pair.  This VM advertises 32 vCPUs but delivers ~16
 # physical cores (SMT): a raw numpy multiprocessing probe scales ~1.0 from
 # 1->8 workers and only ~0.53 from 8->32.  The honest 4x pair that stays

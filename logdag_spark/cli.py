@@ -31,6 +31,7 @@ def _common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--algorithm", default="pc-corr", choices=["pc", "pc-corr"])
     p.add_argument("--ci-func", default="fisherz", choices=["fisherz", "gsq"])
     p.add_argument("--no-filters", action="store_true")
+    p.add_argument("--out", default=None, help="output dir (dump-input CSV)")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -86,7 +87,14 @@ def main(argv: list[str] | None = None) -> int:
         comp = connected_components(cat.read("dag_edges"), cat.read("event_dim"))
         netsize_distribution(comp).show(truncate=False)
     elif args.cmd == "dump-input":
-        cat.read("unit_matrix").orderBy("unit", "eid", "bin").show(100)
+        # S9: write the per-unit input matrix as CSV (reference
+        # __main__.py:111-121 dumps TSV); without --out, preview
+        mat = cat.read("unit_matrix").orderBy("unit", "eid", "bin")
+        if args.out:
+            mat.write.mode("overwrite").option("header", "true").csv(args.out)
+            print(f"wrote {args.out}")
+        else:
+            mat.show(100)
     elif args.cmd == "lineage":
         cat.stage_metrics().show(truncate=False)
     spark.stop()

@@ -1136,6 +1136,477 @@ def q_pipeline_sink_counts(spark, sf_dir):
     return res.sink_counts()
 
 
+
+
+# ================================================== round-2 oracle coverage
+
+
+def _events_snmp_series(spark, sf_dir):
+    """events as raw SNMP-style samples (value column = sample)."""
+    return _load(spark, sf_dir, "events").select(
+        F.lit("snmp_src").alias("measure"),
+        F.col("user_id").cast("string").alias("host"),
+        F.col("event_type").alias("key"),
+        F.lit("all").alias("area"),
+        F.lit("snmp").alias("group"),
+        "ts",
+        F.col("value").alias("val"),
+    )
+
+
+def q_snmp_hostsum(spark, sf_dir):
+    """J5 vsource hostsum (evgen_snmp.py:222-247) + 1h rollup."""
+    from logdag_spark.pipeline.snmp_features import hostsum
+
+    hs = hostsum(_events_snmp_series(spark, sf_dir), "vsum")
+    b = discretize(hs, RANGE, timedelta(hours=1))
+    return b.select(
+        "host", _bin_s(), F.round("cnt", 6).alias("val")
+    )
+
+
+SQL_SNMP_HOSTSUM = f"""
+SELECT user_id::varchar AS host,
+       {T0_S} + (((epoch_ms(ts) // 1000) - {T0_S}) // 3600) * 3600 AS bin_s,
+       round(sum(value), 6) AS val
+FROM events
+WHERE (epoch_ms(ts) // 1000) >= {T0_S} AND (epoch_ms(ts) // 1000) < {T0_S + TERM_S}
+GROUP BY 1, 2
+"""
+
+
+def _pk_dim(spark, sf_dir):
+    """Small deterministic event dim for prior-knowledge entries."""
+    ev = (
+        _load(spark, sf_dir, "events")
+        .where(F.col("user_id") < 20)
+        .select(
+            F.col("user_id").cast("string").alias("host"),
+            F.col("event_type").alias("key"),
+        )
+        .distinct()
+    )
+    w = Window.orderBy("host", "key")
+    return ev.select(
+        F.lit("all").alias("unit"),
+        (F.row_number().over(w) - 1).cast("long").alias("eid"),
+        "host",
+        "key",
+    )
+
+
+def _pk_topology(spark, sf_dir):
+    """Deterministic chain topology over the sorted host list: edges
+    (h[0],h[1]), (h[2],h[3]), ... — every other consecutive pair."""
+    hosts = (
+        _load(spark, sf_dir, "events")
+        .where(F.col("user_id") < 20)
+        .select(F.col("user_id").cast("string").alias("host"))
+        .distinct()
+    )
+    w = Window.orderBy("host")
+    ranked = hosts.select("host", (F.row_number().over(w) - 1).alias("rn"))
+    a = ranked.where(F.col("rn") % 2 == 0).select(
+        F.col("host").alias("host1"), F.col("rn").alias("rn1")
+    )
+    b = ranked.select(F.col("host").alias("host2"), F.col("rn").alias("rn2"))
+    return a.join(b, a["rn1"] + 1 == b["rn2"]).select("host1", "host2")
+
+
+def q_pk_topology_pruned(spark, sf_dir):
+    """G7 Topology rule: candidate pairs forbidden because no topology
+    edge connects their hosts (pknowledge.py:229-241)."""
+    from logdag_spark.pipeline.pknowledge import candidate_pairs, noedge_topology
+
+    ne = noedge_topology(
+        candidate_pairs(_pk_dim(spark, sf_dir)), _pk_topology(spark, sf_dir)
+    )
+    return ne.select("unit", "eid1", "eid2")
+
+
+_SQL_PK_BASE = """
+WITH dim AS (
+  SELECT 'all' AS unit,
+         row_number() OVER (ORDER BY host, key) - 1 AS eid, host, key
+  FROM (SELECT DISTINCT user_id::varchar AS host, event_type AS key
+        FROM events WHERE user_id < 20)
+),
+hosts AS (
+  SELECT host, row_number() OVER (ORDER BY host) - 1 AS rn
+  FROM (SELECT DISTINCT host FROM dim)
+),
+topo AS (
+  SELECT a.host AS host1, b.host AS host2
+  FROM hosts a JOIN hosts b ON b.rn = a.rn + 1 AND a.rn % 2 = 0
+),
+topo_sym AS (
+  SELECT host1, host2 FROM topo
+  UNION SELECT host2, host1 FROM topo
+),
+pairs AS (
+  SELECT a.unit, a.eid AS eid1, b.eid AS eid2, a.host AS host1, b.host AS host2
+  FROM dim a JOIN dim b ON a.unit = b.unit AND a.eid < b.eid
+)"""
+
+
+SQL_PK_TOPOLOGY = _SQL_PK_BASE + """
+SELECT p.unit, p.eid1, p.eid2
+FROM pairs p
+LEFT JOIN topo_sym t ON t.host1 = p.host1 AND t.host2 = p.host2
+WHERE p.host1 <> p.host2 AND t.host1 IS NULL
+"""
+
+
+def q_pk_host_independent(spark, sf_dir):
+    """G7 HostIndependent rule (pknowledge.py:309-313): forbid every
+    cross-host pair."""
+    from logdag_spark.pipeline.pknowledge import (
+        candidate_pairs,
+        noedge_host_independent,
+    )
+
+    ne = noedge_host_independent(candidate_pairs(_pk_dim(spark, sf_dir)))
+    return ne.select("unit", "eid1", "eid2")
+
+
+SQL_PK_HOST_INDEP = _SQL_PK_BASE + """
+SELECT unit, eid1, eid2 FROM pairs WHERE host1 <> host2
+"""
+
+
+def _daily_graph(spark, sf_dir):
+    """(edges, evdim) over the daily-edge surface: nodes are event
+    types, identifiers = keys, host = first letter (deterministic)."""
+    edges = _daily_edges(spark, sf_dir).select(
+        "unit",
+        F.col("k1").alias("src_eid"),
+        F.col("k2").alias("dst_eid"),
+        F.lit(True).alias("directed"),
+        F.col("r").alias("weight"),
+    )
+    ev = _load(spark, sf_dir, "events").select(F.col("event_type").alias("key")).distinct()
+    days = edges.select("unit").distinct()
+    evdim = days.crossJoin(ev).select(
+        "unit",
+        F.col("key").alias("eid"),
+        F.col("key").alias("identifier"),
+        F.substring("key", 1, 1).alias("host"),
+        "key",
+    )
+    return edges, evdim
+
+
+_SQL_DAILY_GRAPH = _SQL_DAILY_EDGES + """
+, evdim AS (
+  SELECT u.unit, t.key AS eid, t.key AS identifier,
+         substr(t.key, 1, 1) AS host, t.key AS key
+  FROM (SELECT DISTINCT unit FROM kept) u
+  CROSS JOIN (SELECT DISTINCT event_type AS key FROM events) t
+)"""
+
+
+def q_edge_tfidf_daily(spark, sf_dir):
+    """A11 TF-IDF edge ranking across daily DAGs (edge_search.py:207-532)."""
+    from logdag_spark.operators.graphops import edge_tfidf
+
+    edges, evdim = _daily_graph(spark, sf_dir)
+    t = edge_tfidf(edges, evdim)
+    return t.select(
+        "unit", "pair_key", F.col("cnt").cast("bigint").alias("cnt"),
+        F.round("tf", 6).alias("tf"), F.col("df").cast("bigint").alias("df"),
+        F.round("tfidf", 6).alias("tfidf"),
+    )
+
+
+SQL_EDGE_TFIDF = _SQL_DAILY_GRAPH + """
+, keyed AS (
+  SELECT unit, least(k1, k2) || '->' || greatest(k1, k2) AS pair_key
+  FROM kept
+),
+n_units AS (SELECT count(DISTINCT unit) AS n FROM keyed),
+per_unit AS (SELECT unit, count(*) AS unit_edges FROM keyed GROUP BY 1),
+tf AS (
+  SELECT k.unit, k.pair_key, count(*) AS cnt,
+         count(*)::double / any_value(p.unit_edges) AS tf
+  FROM keyed k JOIN per_unit p ON k.unit = p.unit
+  GROUP BY 1, 2
+),
+dfp AS (SELECT pair_key, count(DISTINCT unit) AS df FROM keyed GROUP BY 1)
+SELECT t.unit, t.pair_key, t.cnt::bigint AS cnt, round(t.tf, 6) AS tf,
+       d.df::bigint AS df,
+       round(t.tf * (ln((n.n + 1)::double / (d.df + 1)) + 1), 6) AS tfidf
+FROM tf t JOIN dfp d ON t.pair_key = d.pair_key CROSS JOIN n_units n
+"""
+
+
+def q_netsize_daily(spark, sf_dir):
+    """G8/A12: connected components of each daily DAG + size histogram
+    (showdag.py:738-760)."""
+    from logdag_spark.operators.graphops import (
+        connected_components,
+        netsize_distribution,
+    )
+
+    edges, _ = _daily_graph(spark, sf_dir)
+    touched = (
+        edges.select("unit", F.col("src_eid").alias("eid"))
+        .unionByName(edges.select("unit", F.col("dst_eid").alias("eid")))
+        .distinct()
+    )
+    comp = connected_components(edges, touched)
+    return netsize_distribution(comp).select(
+        F.col("size").cast("bigint").alias("size"),
+        F.col("n_components").cast("bigint").alias("n_components"),
+    )
+
+
+SQL_NETSIZE = _SQL_DAILY_EDGES + """
+, sym AS (
+  SELECT unit, k1 AS a, k2 AS b FROM kept
+  UNION SELECT unit, k2, k1 FROM kept
+),
+nodes AS (SELECT DISTINCT unit, a AS node FROM sym),
+reach AS (
+  WITH RECURSIVE r(unit, node, other) AS (
+    SELECT unit, node, node FROM nodes
+    UNION
+    SELECT r.unit, r.node, s.b
+    FROM r JOIN sym s ON r.unit = s.unit AND r.other = s.a
+  ) SELECT * FROM r
+),
+comp AS (SELECT unit, node, min(other) AS component FROM reach GROUP BY 1, 2),
+sizes AS (SELECT unit, component, count(*) AS sz FROM comp GROUP BY 1, 2)
+SELECT sz::bigint AS size, count(*)::bigint AS n_components
+FROM sizes GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_graph_undirected_daily(spark, sf_dir):
+    """P8 to_undirected (showdag_filter.py:22-23): canonicalized
+    undirected daily edge list."""
+    from logdag_spark.operators.graphops import f_to_undirected
+
+    edges, _ = _daily_graph(spark, sf_dir)
+    und = f_to_undirected(edges)
+    return und.select(
+        "unit", F.col("src_eid").alias("n1"), F.col("dst_eid").alias("n2"),
+        F.round("weight", 6).alias("weight"),
+    )
+
+
+SQL_UNDIRECTED = _SQL_DAILY_EDGES + """
+SELECT unit, least(k1, k2) AS n1, greatest(k1, k2) AS n2,
+       round(max(abs(r)), 6) AS weight
+FROM kept GROUP BY 1, 2, 3
+"""
+
+
+def q_match_all_daily(spark, sf_dir):
+    """J8 match rule "all" with member expansion (match_edge.py:30-48)."""
+    from logdag_spark.operators.graphops import match_trouble_edges
+
+    edges, evdim = _daily_graph(spark, sf_dir)
+    trouble = spark.createDataFrame(
+        [(1, "click"), (1, "error"), (2, "view")], "tid int, identifier string"
+    )
+    m = match_trouble_edges(edges, evdim, trouble, rule="all")
+    return m.select("tid", "unit", F.col("src_eid").alias("k1"), F.col("dst_eid").alias("k2"))
+
+
+SQL_MATCH_ALL = _SQL_DAILY_EDGES + """
+, trouble(tid, ident) AS (VALUES (1, 'click'), (1, 'error'), (2, 'view')),
+hits AS (SELECT DISTINCT tid, ident FROM trouble)
+SELECT DISTINCT t.tid, e.unit, e.k1, e.k2
+FROM kept e JOIN hits t ON t.ident = e.k1 OR t.ident = e.k2
+"""
+
+
+def q_match_either_daily(spark, sf_dir):
+    """J8 match rule "either" = exactly-one-endpoint (XOR)."""
+    from logdag_spark.operators.graphops import match_trouble_edges
+
+    edges, evdim = _daily_graph(spark, sf_dir)
+    trouble = spark.createDataFrame(
+        [(1, "click"), (1, "error"), (2, "view")], "tid int, identifier string"
+    )
+    m = match_trouble_edges(edges, evdim, trouble, rule="either")
+    return m.select("tid", "unit", F.col("src_eid").alias("k1"), F.col("dst_eid").alias("k2"))
+
+
+SQL_MATCH_EITHER = _SQL_DAILY_EDGES + """
+, trouble(tid, ident) AS (VALUES (1, 'click'), (1, 'error'), (2, 'view')),
+hits AS (SELECT DISTINCT tid, ident FROM trouble)
+SELECT t.tid, e.unit, e.k1, e.k2
+FROM kept e CROSS JOIN (SELECT DISTINCT tid FROM hits) t
+WHERE (EXISTS (SELECT 1 FROM hits h WHERE h.tid = t.tid AND h.ident = e.k1))
+   <> (EXISTS (SELECT 1 FROM hits h WHERE h.tid = t.tid AND h.ident = e.k2))
+"""
+
+
+def q_temporal_edge_sort_daily(spark, sf_dir):
+    """W16: daily edges ranked by endpoint activity distance from a
+    query time (edge_search.py:650-705)."""
+    from logdag_spark.operators.graphops import temporal_edge_sort
+
+    edges, _ = _daily_graph(spark, sf_dir)
+    ev = _events_routed(spark, sf_dir)
+    b = discretize(ev, RANGE, timedelta(hours=1), keys=("key",))
+    mat = b.select(
+        F.date_format("bin", "yyyyMMdd").alias("unit"),
+        F.col("key").alias("eid"), "bin", "cnt",
+    )
+    qts = datetime(2024, 1, 15, 12, tzinfo=timezone.utc)
+    out = temporal_edge_sort(edges, None, mat, qts)
+    return out.select(
+        "unit", F.col("src_eid").alias("k1"), F.col("dst_eid").alias("k2"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+SQL_TEMPORAL_SORT = _SQL_DAILY_EDGES + f"""
+, mat AS (
+  SELECT strftime(ts, '%Y%m%d') AS unit, event_type AS eid,
+         {T0_S} + (((epoch_ms(ts) // 1000) - {T0_S}) // 3600) * 3600 AS bin_s,
+         count(*)::double AS cnt
+  FROM events
+  WHERE (epoch_ms(ts) // 1000) >= {T0_S} AND (epoch_ms(ts) // 1000) < {T0_S + TERM_S}
+  GROUP BY 1, 2, 3
+),
+node_score AS (
+  SELECT unit, eid,
+         sum(abs(bin_s * 1000 - {int(datetime(2024, 1, 15, 12, tzinfo=timezone.utc).timestamp() * 1000)}) * cnt) / sum(cnt) AS nd
+  FROM mat GROUP BY 1, 2
+)
+SELECT e.unit, e.k1, e.k2, round((s.nd + d.nd) / 2 / 1000.0, 6) AS score
+FROM kept e
+JOIN node_score s ON s.unit = e.unit AND s.eid = e.k1
+JOIN node_score d ON d.unit = e.unit AND d.eid = e.k2
+"""
+
+
+def q_node_ts_drilldown(spark, sf_dir):
+    """Node drill-down (showdag.py:384-391): hourly series of one event
+    node joined back from the event store."""
+    ev = _events_routed(spark, sf_dir)
+    node = ev.where((F.col("host") == "5") & (F.col("key") == "click"))
+    b = discretize(node, RANGE, timedelta(hours=1))
+    return b.select(
+        "host", "key", _bin_s(), F.col("cnt").cast("bigint").alias("cnt")
+    )
+
+
+SQL_NODE_TS = f"""
+SELECT user_id::varchar AS host, event_type AS key,
+       {T0_S} + (((epoch_ms(ts) // 1000) - {T0_S}) // 3600) * 3600 AS bin_s,
+       count(*)::bigint AS cnt
+FROM events
+WHERE user_id = 5 AND event_type = 'click'
+  AND (epoch_ms(ts) // 1000) >= {T0_S} AND (epoch_ms(ts) // 1000) < {T0_S + TERM_S}
+GROUP BY 1, 2, 3
+"""
+
+
+def q_common_components_daily(spark, sf_dir):
+    """G10 cluster common components (edge_search.py:135-148): geometric
+    mean of normalized node-presence vectors over the 3 busiest daily
+    DAGs — ranks what those days' graphs share."""
+    from logdag_spark.operators.graphops import cluster_common_components
+
+    edges, _ = _daily_graph(spark, sf_dir)
+    vec = (
+        edges.select("unit", F.col("src_eid").alias("feat"))
+        .unionByName(edges.select("unit", F.col("dst_eid").alias("feat")))
+        .distinct()
+        .withColumn("w", F.lit(1.0))
+    )
+    # the most-similar unit pair (max shared edges) — guaranteed to
+    # share structure, so the gmean ranking is non-vacuous
+    a = edges.select("unit", "src_eid", "dst_eid")
+    b = a.toDF("unit2", "src_eid", "dst_eid")
+    top = (
+        a.join(b, ["src_eid", "dst_eid"])
+        .where(F.col("unit") < F.col("unit2"))
+        .groupBy("unit", "unit2").agg(F.count("*").alias("dot"))
+        .orderBy(F.desc("dot"), "unit", "unit2").limit(1).collect()
+    )
+    units = [top[0]["unit"], top[0]["unit2"]] if top else []
+    if len(units) < 2:
+        return spark.createDataFrame([], "feat string, gmean double")
+    out = cluster_common_components(vec, units)
+    return out.select("feat", F.round("gmean", 6).alias("gmean"))
+
+
+SQL_COMMON_COMP = _SQL_DAILY_EDGES + """
+, pair_sim AS (
+  SELECT a.unit AS u1, b.unit AS u2, count(*) AS dot
+  FROM kept a JOIN kept b
+    ON a.k1 = b.k1 AND a.k2 = b.k2 AND a.unit < b.unit
+  GROUP BY 1, 2
+),
+top_pair AS (
+  SELECT u1, u2 FROM pair_sim ORDER BY dot DESC, u1, u2 LIMIT 1
+),
+top_units AS (
+  SELECT u1 AS unit FROM top_pair UNION ALL SELECT u2 FROM top_pair
+),
+vec AS (
+  SELECT DISTINCT unit, feat, 1.0 AS w FROM (
+    SELECT unit, k1 AS feat FROM kept
+    UNION ALL SELECT unit, k2 FROM kept
+  ) WHERE unit IN (SELECT unit FROM top_units)
+),
+nrm AS (SELECT unit, sqrt(sum(w * w)) AS nrm FROM vec GROUP BY 1),
+normed AS (
+  SELECT v.feat, v.w / n.nrm AS x FROM vec v JOIN nrm n ON v.unit = n.unit
+)
+SELECT feat, round(exp(avg(ln(x))), 6) AS gmean
+FROM normed GROUP BY feat
+HAVING count(*) = (SELECT count(*) FROM top_units)
+"""
+
+
+def q_kmeans_daily(spark, sf_dir):
+    """G10 kmeans clustering of daily DAG vectors (rows-only: iterative
+    Lloyd's has no single-statement SQL oracle)."""
+    from logdag_spark.operators.graphops import dag_vectors, kmeans_units
+
+    edges, evdim = _daily_graph(spark, sf_dir)
+    vec = dag_vectors(edges, evdim, space="edge")
+    return kmeans_units(vec, k=3).orderBy("unit")
+
+
+def q_anomaly_iforest(spark, sf_dir):
+    """W8: isolation-forest anomaly bins of one event series (rows-only:
+    ensemble of random trees has no SQL oracle)."""
+    from logdag_spark.operators.windows import anomaly_kernel
+
+    ev = _events_routed(spark, sf_dir)
+    b = discretize(ev, RANGE, timedelta(hours=1))
+    series = b.select(
+        "measure", "host", "key", F.col("bin").alias("ts"),
+        F.col("cnt").alias("val"),
+    ).where(F.col("host").isin("1", "2", "3"))
+    out = anomaly_kernel(series, "iforest")
+    return out.where(F.col("val") > 0).select(
+        "host", "key", _bin_s("ts"), F.col("val").alias("flag")
+    )
+
+
+def q_group_stats_daily(spark, sf_dir):
+    """A10 edge counts per template group (__main__.py:300-323); groups
+    here are the first letter of the event type (deterministic)."""
+    from logdag_spark.operators.graphops import group_stats
+
+    edges, evdim = _daily_graph(spark, sf_dir)
+    g = group_stats(edges, evdim.withColumn("group", F.col("host")))
+    return g.select("group", F.col("n_edges").cast("bigint").alias("n_edges"))
+
+
+SQL_GROUP_STATS = _SQL_DAILY_EDGES + """
+SELECT substr(k1, 1, 1) AS "group", count(*)::bigint AS n_edges
+FROM kept GROUP BY 1
+"""
+
 QUERIES = {
     # §2.4 aggregations / discretize
     "tumbling_count_1m": (q_tumbling_count_1m, SQL_TUMBLING),
@@ -1174,7 +1645,22 @@ QUERIES = {
     "embedding_near_dups_bf": (q_embedding_near_dups_bf, SQL_NEAR_DUPS),
     "cube_stats": (q_cube_stats, SQL_CUBE_STATS),
     "revert_bins": (q_revert_bins, SQL_REVERT),
+    # round-2 oracle coverage
+    "snmp_hostsum": (q_snmp_hostsum, SQL_SNMP_HOSTSUM),
+    "pk_topology_pruned": (q_pk_topology_pruned, SQL_PK_TOPOLOGY),
+    "pk_host_independent": (q_pk_host_independent, SQL_PK_HOST_INDEP),
+    "edge_tfidf_daily": (q_edge_tfidf_daily, SQL_EDGE_TFIDF),
+    "netsize_daily": (q_netsize_daily, SQL_NETSIZE),
+    "graph_undirected_daily": (q_graph_undirected_daily, SQL_UNDIRECTED),
+    "match_all_daily": (q_match_all_daily, SQL_MATCH_ALL),
+    "match_either_daily": (q_match_either_daily, SQL_MATCH_EITHER),
+    "temporal_edge_sort_daily": (q_temporal_edge_sort_daily, SQL_TEMPORAL_SORT),
+    "node_ts_drilldown": (q_node_ts_drilldown, SQL_NODE_TS),
+    "common_components_daily": (q_common_components_daily, SQL_COMMON_COMP),
+    "group_stats_daily": (q_group_stats_daily, SQL_GROUP_STATS),
     # Spark-only (rows-only checks)
+    "kmeans_daily": (q_kmeans_daily, None),
+    "anomaly_iforest": (q_anomaly_iforest, None),
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, None),
     "simhash_near_dups": (q_simhash_near_dups, None),
     "lsh_topk": (q_lsh_topk, None),

@@ -99,14 +99,12 @@ def run_pipeline(
     if catalog and "events_ts" in checkpoint_stages:
         routed = ck(routed.withColumn("day", F.to_date("ts")), "events_ts",
                     partition_by=["measure", "day"]).drop("day")
-    else:
-        # Materialize the routed stage before the python-kernel exchange:
-        # feeding applyInPandas a live JVM-heavy plan makes parse tasks and
-        # Python workers contend for the same cores (measured 3-10x wall
-        # variance locally).  With a catalog the events_ts checkpoint is
-        # this barrier; without one, localCheckpoint is the in-memory
-        # equivalent.
-        routed = routed.localCheckpoint(eager=True)
+    # No in-memory barrier otherwise: the series filter pre-aggregates to
+    # fine bins behind a shuffle, so the JVM parse stage and the Python
+    # kernel stage are already separated by a stage boundary.  (An earlier
+    # localCheckpoint barrier here pinned the full routed stage in
+    # executor heap; across repeated runs those blocks accumulate and GC
+    # degrades wall time 3-6x — the round-1 bench scaling failure.)
     # SNMP feature generation (J5 + evpost chain): replaces raw SNMP
     # source measures with configured feature measures before filtering
     # (the reference's make-evdb writes features, not raw samples —

@@ -193,3 +193,36 @@ def test_catalog_partial_write_not_resumable(spark, tmp_path):
     cat.read_or_run("t1", lambda: (ran.append(1), df.where("v < 5"))[1])
     assert ran == [1]  # stage re-ran instead of resuming from partial data
     assert cat.exists("t1") and cat.read("t1").count() == 5
+
+
+def test_snmp_feature_pipeline(spark, inputs):
+    """Mixed log+snmp run with the SNMP feature stage configured: raw
+    snmp_feature samples are replaced by hostsum-derived feature
+    measures before filtering (reference make-evdb writes features, not
+    raw samples — evgen_snmp.py:421-447)."""
+    labeled, hmeta, tdim = inputs
+    cfg = PipelineConfig(
+        cause_algorithm="pc-corr", ci_bin_size="5m",
+        snmp_vsources=(("snmp_sum", "snmp_feature"),),
+        snmp_features=(
+            {"name": "snmp_activity", "source": "snmp_sum",
+             "func_list": ["fillzero"]},
+        ),
+        snmp_bin_size="1m",
+    )
+    res = run_pipeline(spark, fx.contract(labeled), hmeta, tdim, DT_RANGE,
+                       cfg, apply_filters=True)
+    measures = {
+        r["measure"]
+        for r in res.binned.select("measure").distinct().collect()
+    }
+    assert "snmp_activity" in measures and "snmp_feature" not in measures
+    assert "log_feature" in measures  # log branch untouched
+    assert res.edges.count() > 0
+    # feature events carry the vsource key "all"
+    keys = {
+        r["key"]
+        for r in res.binned.where(F.col("measure") == "snmp_activity")
+        .select("key").distinct().collect()
+    }
+    assert keys == {"all"}
