@@ -74,19 +74,30 @@ def minhash_signatures(
     against ``num_hashes`` seeds, take per-doc minima in ONE hash
     aggregate.
 
-    This shape matters twice at scale: the shingle set is computed exactly
-    once per row (a single giant array expression re-inlines the whole
-    tokenize->shingle pipeline per hash and explodes codegen), and the
-    groupBy(min) gets map-side partial aggregation, so the shuffle carries
-    one signature row per document regardless of shingle count.
+    This shape matters three times at scale: the shingle set is computed
+    exactly once per row (a single giant array expression re-inlines the
+    whole tokenize->shingle pipeline per hash and explodes codegen); the
+    string shingle is hashed ONCE and the K signature hashes derive from
+    that base hash by affine integer mixing h_i = a_i*h + b_i (the
+    standard universal-hash MinHash family) — K long multiplies instead
+    of K string hashes per exploded row; and the groupBy(min) gets
+    map-side partial aggregation, so the shuffle carries one signature
+    row per document regardless of shingle count.
     Output: (_id, h0..h{n-1}).
     """
-    sh = df.select(F.col(id_col).alias("_id"), F.explode(shingles(col, k)).alias("_sh"))
+    P = (1 << 31) - 1  # Mersenne prime; a*x + b stays < 2^62 (ANSI-safe)
+    sh = df.select(
+        F.col(id_col).alias("_id"), F.explode(shingles(col, k)).alias("_sh")
+    ).select("_id", F.pmod(F.xxhash64("_sh"), F.lit(P)).alias("_h"))
+
+    def mix(i: int):
+        # deterministic per-seed affine constants in [1, P)
+        a = (0x9E3779B9 * (2 * i + 1)) % P or 1
+        b = (0x85EBCA6B * (i + 1)) % P
+        return F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(P))
+
     return sh.groupBy("_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
+        *[F.min(mix(i)).alias(f"h{i}") for i in range(num_hashes)]
     )
 
 
