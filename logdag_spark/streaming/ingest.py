@@ -73,3 +73,90 @@ def write_stream_to_events_ts(counts: DataFrame, path: str, checkpoint: str):
         .option("checkpointLocation", checkpoint)
         .foreachBatch(sink)
     )
+
+
+def stateful_series_monitor(
+    events: DataFrame,
+    threshold: float = 10.0,
+    bin_size: timedelta = timedelta(minutes=1),
+    watermark: str = "10 minutes",
+    timeout_minutes: int = 30,
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): a
+    per-series running monitor emitting an alert row whenever a bin's
+    count exceeds ``threshold`` x the series' running mean.
+
+    This is the streaming analogue of the batch outlier features
+    (operators/windows.py, evpost.py:59-71): the reference recomputes
+    medians over full series; a stream can't, so the state carries
+    (n_bins, total) per (measure, host, key) and scores each closed bin
+    against the running mean.  State times out after ``timeout_minutes``
+    of event-time inactivity (GroupStateTimeout.EventTimeTimeout), so the
+    state store stays bounded by the ACTIVE series count regardless of
+    how many series ever existed — the property that matters at 10^12
+    rows.
+
+    Input: routed event rows (measure, host, key, ts, val).
+    Output: (measure, host, key, bin timestamp, cnt, mean_before, alert).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    interval_s = int(bin_size.total_seconds())
+    out_schema = (
+        "measure string, host string, key string, bin timestamp, "
+        "cnt double, mean_before double, alert boolean"
+    )
+    state_schema = "n long, total double"
+
+    def monitor(key, pdfs, state: GroupState):
+        measure, host, k = key
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                columns=[
+                    "measure", "host", "key", "bin", "cnt",
+                    "mean_before", "alert",
+                ]
+            )
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        rows = []
+        for pdf in pdfs:
+            binned = (
+                pdf.assign(
+                    bin=pdf["ts"].dt.floor(f"{interval_s}s")
+                )
+                .groupby("bin")["val"].sum().sort_index()
+            )
+            for b, cnt in binned.items():
+                mean = total / n if n else float(cnt)
+                rows.append(
+                    (measure, host, k, b, float(cnt), mean,
+                     bool(n > 0 and cnt > threshold * mean))
+                )
+                n += 1
+                total += float(cnt)
+        state.update((n, total))
+        state.setTimeoutTimestamp(
+            state.getCurrentWatermarkMs() + timeout_minutes * 60_000
+        )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "measure", "host", "key", "bin", "cnt",
+                "mean_before", "alert",
+            ],
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("measure", "host", "key")
+        .applyInPandasWithState(
+            monitor,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -57,3 +57,44 @@ def test_streaming_counts_match_batch(spark, tmp_path):
     settled = batch.where(F.col("bin") < F.lit(cutoff))
     assert settled.exceptAll(got).count() == 0
     assert got.count() >= settled.count() > 0
+
+
+@pytest.mark.slow
+def test_stateful_series_monitor_alerts(spark, tmp_path):
+    """applyInPandasWithState: running per-series mean + burst alerting.
+    A planted 30x burst bin must alert; steady bins must not."""
+    import pandas as pd
+    from datetime import datetime
+
+    from logdag_spark.streaming.ingest import stateful_series_monitor
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for m in range(120):
+        n = 30 if m == 60 else 1  # burst at minute 60
+        for i in range(n):
+            rows.append(("log_feature", "h1", "7", t0 + timedelta(minutes=m, seconds=i), 1.0))
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows, "measure string, host string, key string, ts timestamp, val double"
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stateful_series_monitor(stream, threshold=5.0)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory").queryName("series_monitor")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("SELECT * FROM series_monitor").toPandas()
+    assert len(got) > 0
+    alerts = got[got["alert"]]
+    burst_bin = pd.Timestamp(t0 + timedelta(minutes=60))
+    assert list(alerts["bin"]) == [burst_bin]
+    assert float(alerts["cnt"].iloc[0]) == 30.0
+    # running mean before the burst is ~1
+    assert abs(float(alerts["mean_before"].iloc[0]) - 1.0) < 0.2
