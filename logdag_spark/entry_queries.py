@@ -1607,6 +1607,246 @@ SELECT substr(k1, 1, 1) AS "group", count(*)::bigint AS n_edges
 FROM kept GROUP BY 1
 """
 
+# ===================== round-2b: oracle coverage for pytest-only surface
+
+
+def q_gsq_edges_1h(spark, sf_dir):
+    """G3 marginal G-square dependence test (pc-corr with ci_func=gsq,
+    makedag.py:116-122 + pc_input.py:19-22) over binarized hourly
+    event_type presence, one term-wide unit — the sparse scale path
+    (correlate.gsq_edges) rather than the grouped-map kernel."""
+    from logdag_spark.pipeline.correlate import gsq_edges
+
+    b = discretize(
+        _events_routed(spark, sf_dir), RANGE, timedelta(hours=1), keys=("key",)
+    )
+    mat = b.select(
+        F.lit("all").alias("unit"),
+        F.col("key").alias("eid"),
+        "bin",
+        F.lit(1.0).alias("cnt"),
+    )
+    nb = spark.createDataFrame([("all", TERM_S // 3600)], "unit string, n long")
+    e = gsq_edges(mat, nb, alpha=0.01, emit_all=True)
+    return e.select(
+        F.col("eid1").alias("type1"),
+        F.col("eid2").alias("type2"),
+        "n11",
+        F.round("g2", 6).alias("g2"),
+        "dep",
+    )
+
+
+def _gsq_crit() -> float:
+    from logdag_spark.pipeline.correlate import chi2_crit_1dof
+
+    return chi2_crit_1dof(0.01)
+
+
+_NB_GSQ = TERM_S // 3600
+SQL_GSQ = f"""
+WITH pres AS (
+  SELECT DISTINCT event_type, ((epoch_ms(ts) // 1000) - {T0_S}) // 3600 AS i
+  FROM events
+  WHERE (epoch_ms(ts) // 1000) >= {T0_S} AND (epoch_ms(ts) // 1000) < {T0_S + TERM_S}
+),
+n1 AS (SELECT event_type, count(*)::double AS n1 FROM pres GROUP BY 1),
+co AS (
+  SELECT a.event_type AS t1, b.event_type AS t2, count(*)::double AS n11
+  FROM pres a JOIN pres b ON a.i = b.i AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT s1.event_type AS t1, s2.event_type AS t2,
+         s1.n1 AS na, s2.n1 AS nb, coalesce(co.n11, 0.0) AS n11
+  FROM n1 s1 JOIN n1 s2 ON s1.event_type < s2.event_type
+  LEFT JOIN co ON co.t1 = s1.event_type AND co.t2 = s2.event_type
+),
+gg AS (
+  SELECT t1, t2, n11,
+    2.0 * (
+      CASE WHEN n11 > 0
+           THEN n11 * ln(n11 / (na * nb / {float(_NB_GSQ)})) ELSE 0 END +
+      CASE WHEN (na - n11) > 0
+           THEN (na - n11) * ln((na - n11) / (na * ({float(_NB_GSQ)} - nb) / {float(_NB_GSQ)})) ELSE 0 END +
+      CASE WHEN (nb - n11) > 0
+           THEN (nb - n11) * ln((nb - n11) / (({float(_NB_GSQ)} - na) * nb / {float(_NB_GSQ)})) ELSE 0 END +
+      CASE WHEN ({float(_NB_GSQ)} - na - nb + n11) > 0
+           THEN ({float(_NB_GSQ)} - na - nb + n11) *
+                ln(({float(_NB_GSQ)} - na - nb + n11) /
+                   (({float(_NB_GSQ)} - na) * ({float(_NB_GSQ)} - nb) / {float(_NB_GSQ)})) ELSE 0 END
+    ) AS g2
+  FROM pairs
+)
+SELECT t1 AS type1, t2 AS type2, n11::bigint AS n11, round(g2, 6) AS g2,
+       g2 > {_gsq_crit()!r} AS dep
+FROM gg
+"""
+
+
+def q_fill_missing_bins(spark, sf_dir):
+    """W1/W1b/W5 over genuinely-missing samples: hourly per-type counts
+    left-joined to the bin spine with missing hours kept NULL, then
+    fillzero / fillavg / getnan as column transforms."""
+    from logdag_spark.operators.windows import fillavg, fillzero, getnan
+
+    b = discretize(
+        _events_routed(spark, sf_dir), RANGE, timedelta(hours=1), keys=("key",)
+    )
+    filled = fill_bins(b, RANGE, timedelta(hours=1), keys=("key",), fill=None)
+    df = filled.withColumn("val", F.col("cnt").cast("double"))
+    return df.select(
+        F.col("key").alias("event_type"),
+        _bin_s(),
+        fillzero().alias("val_zero"),
+        F.round(fillavg(keys=("key",)), 6).alias("val_avg"),
+        getnan().cast("bigint").alias("miss"),
+    )
+
+
+_NB1H = TERM_S // 3600
+SQL_FILL_MISSING = f"""
+WITH types AS (SELECT DISTINCT event_type FROM events),
+bins AS (SELECT {T0_S} + i * 3600 AS bin_s FROM generate_series(0, {_NB1H - 1}) t(i)),
+cnts AS (
+  SELECT event_type,
+         {T0_S} + (((epoch_ms(ts) // 1000) - {T0_S}) // 3600) * 3600 AS bin_s,
+         count(*)::double AS val
+  FROM events
+  WHERE (epoch_ms(ts) // 1000) >= {T0_S} AND (epoch_ms(ts) // 1000) < {T0_S + TERM_S}
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT t.event_type, b.bin_s, c.val
+  FROM types t CROSS JOIN bins b
+  LEFT JOIN cnts c ON c.event_type = t.event_type AND c.bin_s = b.bin_s
+)
+SELECT event_type, bin_s,
+       coalesce(val, 0.0) AS val_zero,
+       round(coalesce(val, avg(val) OVER (PARTITION BY event_type)), 6) AS val_avg,
+       (val IS NULL)::bigint AS miss
+FROM j
+"""
+
+
+def q_sync_event_merge(spark, sf_dir):
+    """J4 merge_syncevents (log2event.py:465-503) on binarized weekly
+    presence series: same-host events with identical series collapse into
+    one MultipleEventDefinition with a '|'-joined member identifier."""
+    from logdag_spark.pipeline.correlate import (
+        event_dim,
+        merge_syncevents,
+        unit_matrix,
+    )
+
+    week = timedelta(days=7)
+    b = discretize(
+        _events_routed(spark, sf_dir), RANGE, week, keys=("host", "key")
+    )
+    unit_long = b.select(
+        F.lit("all").alias("unit"),
+        F.concat_ws(":", "host", "key").alias("identifier"),
+        "host",
+        "key",
+        "bin",
+        F.lit(1.0).alias("cnt"),
+    )
+    evdim = event_dim(unit_long)
+    mat = unit_matrix(unit_long, evdim)
+    _, dim2 = merge_syncevents(mat, evdim)
+    return dim2.where(F.col("n_members") > 1).select(
+        "host",
+        F.col("identifier").alias("merged_identifier"),
+        F.col("n_members").cast("bigint").alias("n_members"),
+        F.col("total").cast("double").alias("total"),
+    )
+
+
+SQL_SYNC_MERGE = f"""
+WITH cnts AS (
+  SELECT user_id, event_type,
+         ((epoch_ms(ts) // 1000) - {T0_S}) // 604800 AS i, 1.0 AS cnt
+  FROM events
+  WHERE (epoch_ms(ts) // 1000) >= {T0_S} AND (epoch_ms(ts) // 1000) < {T0_S + TERM_S}
+  GROUP BY 1, 2, 3
+),
+ser AS (
+  SELECT user_id, user_id::varchar || ':' || event_type AS ident,
+         string_agg(i || ':' || cnt, ',' ORDER BY i) AS fp,
+         sum(cnt) AS total
+  FROM cnts GROUP BY 1, 2
+),
+grp AS (
+  SELECT user_id, fp,
+         string_agg(ident, '|' ORDER BY ident) AS merged_identifier,
+         count(*)::bigint AS n_members,
+         min(total) AS total
+  FROM ser GROUP BY 1, 2
+)
+SELECT user_id::varchar AS host, merged_identifier, n_members, total::double AS total
+FROM grp WHERE n_members > 1
+"""
+
+
+def q_host_alias_area(spark, sf_dir):
+    """J1 host-alias resolution + P1 area membership as one enrich chain
+    (evgen_snmp.py:121, log2event.py:226-252): odd hosts arrive under a
+    'node-' raw alias, are canonicalized via the broadcast alias dim, then
+    area-filtered through the broadcast host_meta dim."""
+    from logdag_spark.pipeline.enrich import area_filter, resolve_alias
+
+    ev = _events_routed(spark, sf_dir)
+    uid = F.col("host").cast("bigint")
+    raw = ev.withColumn(
+        "host",
+        F.when(uid % 2 == 1, F.concat(F.lit("node-"), "host")).otherwise(
+            F.col("host")
+        ),
+    )
+    hosts = ev.select("host").distinct()
+    alias_dim = hosts.where(F.col("host").cast("bigint") % 2 == 1).select(
+        F.concat(F.lit("node-"), "host").alias("raw"),
+        F.col("host").alias("canonical"),
+    )
+    host_meta = hosts.select(
+        "host",
+        F.concat(F.lit("area_"), (F.col("host").cast("bigint") % 3)).alias("area"),
+    )
+    resolved = resolve_alias(raw, alias_dim)
+    kept = area_filter(resolved, "area_1", host_meta)
+    return kept.groupBy(F.col("key").alias("event_type")).agg(
+        F.count("*").alias("n_rows")
+    )
+
+
+SQL_ALIAS_AREA = """
+SELECT event_type, count(*)::bigint AS n_rows
+FROM events WHERE user_id % 3 = 1 GROUP BY 1
+"""
+
+
+def q_anonymize_roundtrip(spark, sf_dir):
+    """J3 anonymize/restore remap (showdag.py:145-159) round-trips the
+    daily edge list through a broadcast (original -> anon) node mapping;
+    the restored output must equal the un-anonymized edges (the oracle)."""
+    from logdag_spark.operators.dagio import anonymize, restore
+
+    edges = _daily_edges(spark, sf_dir)
+    types = (
+        _load(spark, sf_dir, "events").select(F.col("event_type").alias("original")).distinct()
+    )
+    w = Window.orderBy("original")
+    mapping = types.withColumn(
+        "anon", F.concat(F.lit("x"), F.row_number().over(w))
+    )
+    an = anonymize(anonymize(edges, mapping, col="k1"), mapping, col="k2")
+    back = restore(restore(an, mapping, col="k1"), mapping, col="k2")
+    return back.select("unit", "k1", "k2", "r")
+
+
+SQL_ANON_ROUNDTRIP = _SQL_DAILY_EDGES + "\nSELECT unit, k1, k2, r FROM kept"
+
+
 QUERIES = {
     # §2.4 aggregations / discretize
     "tumbling_count_1m": (q_tumbling_count_1m, SQL_TUMBLING),
@@ -1658,6 +1898,12 @@ QUERIES = {
     "node_ts_drilldown": (q_node_ts_drilldown, SQL_NODE_TS),
     "common_components_daily": (q_common_components_daily, SQL_COMMON_COMP),
     "group_stats_daily": (q_group_stats_daily, SQL_GROUP_STATS),
+    # round-2b oracle coverage (previously pytest-only operators)
+    "gsq_edges_1h": (q_gsq_edges_1h, SQL_GSQ),
+    "fill_missing_bins": (q_fill_missing_bins, SQL_FILL_MISSING),
+    "sync_event_merge": (q_sync_event_merge, SQL_SYNC_MERGE),
+    "host_alias_area": (q_host_alias_area, SQL_ALIAS_AREA),
+    "anonymize_roundtrip": (q_anonymize_roundtrip, SQL_ANON_ROUNDTRIP),
     # Spark-only (rows-only checks)
     "kmeans_daily": (q_kmeans_daily, None),
     "anomaly_iforest": (q_anomaly_iforest, None),

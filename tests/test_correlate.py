@@ -109,3 +109,47 @@ def test_merge_syncevents(spark):
     assert "h:1|h:2" in dims and dims["h:1|h:2"]["n_members"] == 2
     assert "h:3" in dims
     assert new_mat.select("eid").distinct().count() == 2
+
+
+def test_gsq_edges_matches_dense_kernel(spark):
+    """Sparse-sufficient-stats G² (correlate.gsq_edges) equals the dense
+    marginal contingency computation for every pair, and the dependence
+    decision matches pc.ci_test_gsq at |S|=0."""
+    from logdag_spark.pipeline.correlate import chi2_crit_1dof, gsq_edges
+    from logdag_spark.pipeline.pc import ci_test_gsq
+
+    rng = np.random.default_rng(7)
+    n, p = 200, 6
+    dense = (rng.random((n, p)) < 0.3).astype(np.int64)
+    dense[:, 1] = dense[:, 0]  # a perfectly dependent pair
+    rows = [
+        ("u", str(j), DEFAULT_T0 + timedelta(minutes=i), 1.0)
+        for i in range(n)
+        for j in range(p)
+        if dense[i, j]
+    ]
+    mat = spark.createDataFrame(
+        rows, "unit string, eid string, bin timestamp, cnt double"
+    )
+    nb = spark.createDataFrame([("u", n)], "unit string, n long")
+    got = {
+        (int(r["eid1"]), int(r["eid2"])): r["g2"]
+        for r in gsq_edges(mat, nb, alpha=0.01, emit_all=True).collect()
+    }
+    crit = chi2_crit_1dof(0.01)
+    for i in range(p):
+        for j in range(i + 1, p):
+            # dense marginal G² from the 2x2 table
+            x, y = dense[:, i], dense[:, j]
+            tab = np.zeros((2, 2))
+            for a in (0, 1):
+                for b in (0, 1):
+                    tab[a, b] = ((x == a) & (y == b)).sum()
+            exp = tab.sum(1, keepdims=True) @ tab.sum(0, keepdims=True) / n
+            nz = tab > 0
+            want = 2.0 * (tab[nz] * np.log(tab[nz] / exp[nz])).sum()
+            key = (i, j) if str(i) < str(j) else (j, i)
+            assert abs(got[key] - want) < 1e-9, (i, j)
+            # decision parity with the grouped-map kernel's CI test
+            p_dense = ci_test_gsq(dense, i, j, ())
+            assert (got[key] > crit) == (p_dense < 0.01), (i, j)
