@@ -1042,6 +1042,17 @@ def q_lsh_topk(spark, sf_dir):
     return lsh_topk(e, q, dim=64, k=5)
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN (spherical-kmeans cells, n_probe probing) — the second
+    scale path next to lsh_topk; recall vs brute force is pytest-asserted
+    (tests/test_operators.py::test_ivf_topk_recall_on_planted_clusters)."""
+    from logdag_spark.operators.similarity import ivf_topk
+
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    return ivf_topk(e, q, dim=64, k=5, n_clusters=16, n_probe=4)
+
+
 def q_doc_fingerprint(spark, sf_dir):
     from logdag_spark.operators.text import fingerprint
 
@@ -1910,6 +1921,7 @@ QUERIES = {
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, None),
     "simhash_near_dups": (q_simhash_near_dups, None),
     "lsh_topk": (q_lsh_topk, None),
+    "ivf_topk": (q_ivf_topk, None),
     "doc_fingerprint": (q_doc_fingerprint, None),
     "media_features": (q_media_features, None),
     "lingam_daily": (q_lingam_daily, None),

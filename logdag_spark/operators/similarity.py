@@ -9,6 +9,8 @@ JVM-side); no UDFs.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -160,6 +162,140 @@ def lsh_topk(
             cosine(F.col("_query_id_v"), F.col("_neighbor_id_v")).alias("score"),
         )
         .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    dim: int,
+    n_clusters: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+):
+    """Spherical k-means centroids for IVF indexing (numpy (k, dim) array,
+    L2-normalized rows).
+
+    Distributed Lloyd's: assignment is an Arrow-batched ``pandas_udf``
+    (one numpy matmul per batch against the broadcast centroid matrix —
+    k·dim floats shipped in the closure, never a k×N row explosion), the
+    mean-recompute is JVM-side ``posexplode`` + hash-agg, and only the
+    k·dim centroid cells are ever collected.  Init is deterministic: the
+    k corpus rows with the smallest ``xxhash64(id, seed)``.
+    """
+
+    def _normalize_rows(m: "np.ndarray") -> "np.ndarray":
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return m / n
+
+    seeds = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_h", F.xxhash64(F.col("_id"), F.lit(seed)))
+        .orderBy("_h", "_id")
+        .limit(n_clusters)
+        .collect()
+    )
+    cent = _normalize_rows(
+        np.array([r["_v"] for r in seeds], dtype=np.float64)
+    )
+    vecs = df.select(F.col(vec_col).alias("_v"))
+    for _ in range(n_iter):
+        assigned = vecs.withColumn("cluster", assign_cluster(cent)(F.col("_v")))
+        sums = (
+            assigned.select("cluster", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum(F.col("x").cast("double")).alias("s"), F.count("*").alias("c"))
+            .collect()
+        )
+        new = cent.copy()  # empty clusters keep their previous centroid
+        acc = np.zeros((n_clusters, dim))
+        cnt = np.zeros(n_clusters)
+        for r in sums:
+            acc[r["cluster"], r["pos"]] = r["s"]
+            cnt[r["cluster"]] = r["c"]
+        nonempty = cnt > 0
+        new[nonempty] = acc[nonempty] / cnt[nonempty, None]
+        cent = _normalize_rows(new)
+    return cent
+
+
+def assign_cluster(centroids):
+    """Arrow-batched nearest-centroid (max cosine) assignment UDF."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return pd.Series((m / n @ C.T).argmax(axis=1).astype(np.int32))
+
+    return assign
+
+
+def probe_clusters(centroids, n_probe: int):
+    """Arrow-batched top-``n_probe`` nearest centroids per query vector."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("array<int>")
+    def probe(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        sims = m / n @ C.T
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return probe
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> DataFrame:
+    """IVF approximate top-k: spherical-kmeans partition of the corpus,
+    queries probe their ``n_probe`` nearest cells, exact cosine rank on
+    the probed candidates only.
+
+    The scale shape: the corpus is scanned once to index (cluster id is a
+    plain int column — at rest this would be the partition key), and each
+    query joins ~``n_probe/n_clusters`` of the corpus instead of all of
+    it.  Complements ``lsh_topk``: IVF recall degrades gracefully with
+    n_probe and supports billion-row corpora with k ~ sqrt(N) cells.
+    """
+    cent = kmeans_centroids(
+        df, dim, n_clusters, n_iter, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    ).withColumn("cluster", assign_cluster(cent)(F.col("_cv")))
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).withColumn("cluster", F.explode(probe_clusters(cent, n_probe)(F.col("_qv"))))
+    cand = (
+        qs.join(corpus, "cluster")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("score"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -401,3 +401,26 @@ def test_simhash_recall_exact_vs_bruteforce(spark, docs_with_dups):
     assert got == want
     with pytest.raises(ValueError, match="pigeonhole"):
         dedup.simhash_near_dups(docs_with_dups, max_hamming=8, n_tables=4)
+
+
+def test_ivf_topk_recall_on_planted_clusters(spark, clustered_vecs):
+    """IVF (spherical-kmeans cells + n_probe) recovers cluster siblings
+    and ≥90% of brute-force top-2 neighbors."""
+    base = clustered_vecs.select("vec_id", "embedding")
+    q = base.where(F.col("vec_id") % 3 == 0)
+    ann = similarity.ivf_topk(
+        base, q, dim=32, k=2, n_clusters=16, n_probe=3, n_iter=4
+    )
+    by_q = {}
+    for r in ann.collect():
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(1 for qid, nbrs in by_q.items() if {qid + 1, qid + 2} & nbrs)
+    assert hits >= 45, f"IVF found cluster siblings for only {hits}/50 queries"
+
+    bf = similarity.brute_force_topk(base, q, k=2)
+    want = {}
+    for r in bf.collect():
+        want.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = sum(len(by_q.get(qid, set()) & nbrs) for qid, nbrs in want.items())
+    tot = sum(len(nbrs) for nbrs in want.values())
+    assert got / tot >= 0.9, f"IVF recall vs brute force {got}/{tot}"
