@@ -93,6 +93,60 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = "media_id string, width int, height int, pixels array<float>"
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Decode → resize via mapInPandas (Arrow-batched; payload bytes and
+    pixel arrays never become Python row objects).
+
+    The decode is the stubbed seam (`_decode`); the resize itself is a
+    real vectorized bilinear 1D resample of the decoded signal to
+    width·height cells — deterministic, so the distributed contract
+    (schema, batching, output size) is fully testable without codec
+    libs.  A real deployment swaps `_decode` for Pillow and this resample
+    for `Image.resize`.
+    """
+    n_out = width * height
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                sig = _decode(p, "image")
+                src = np.arange(sig.size, dtype=np.float64)
+                dst = np.linspace(0, sig.size - 1, n_out)
+                out.append(np.interp(dst, src, sig).astype(np.float32).tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "pixels": out,
+                }
+            )
+
+    return df.where(F.col("kind") == "image").mapInPandas(op, RESIZED_SCHEMA)
+
+
+def repartition_by_bytes(
+    df: DataFrame, target_mb: int = 64, size_col: str = "payload"
+) -> DataFrame:
+    """Byte-bounded repartition for binary-payload tables.
+
+    Row-count partitioning breaks on media: 1k rows of 4K stills ≈ 4 GB
+    in one Arrow batch.  This sizes the partition count from the actual
+    byte total (one cheap agg) and spreads rows by payload hash, so each
+    mapInPandas task sees ~``target_mb`` of payload regardless of row
+    width — the knob that keeps executor memory flat at 100 TB.
+    """
+    total = df.agg(
+        F.sum(F.coalesce(F.length(F.col(size_col)), F.lit(0))).alias("b")
+    ).first()["b"] or 0
+    n_parts = max(1, int(total // (target_mb * 1024 * 1024)) + 1)
+    return df.repartition(n_parts, F.xxhash64(F.col("media_id")))
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fixture for plumbing tests."""
     kinds = ["image", "audio", "video"]

@@ -424,3 +424,29 @@ def test_ivf_topk_recall_on_planted_clusters(spark, clustered_vecs):
     got = sum(len(by_q.get(qid, set()) & nbrs) for qid, nbrs in want.items())
     tot = sum(len(nbrs) for nbrs in want.values())
     assert got / tot >= 0.9, f"IVF recall vs brute force {got}/{tot}"
+
+
+def test_resize_images_contract(spark):
+    """Resize plumbing: image rows only, fixed output size, deterministic
+    across partitionings."""
+    from logdag_spark.operators.multimodal import resize_images
+
+    media = synthetic_media(spark, 32)
+    out = resize_images(media, 8, 6).collect()
+    n_images = media.where("kind = 'image'").count()
+    assert len(out) == n_images > 0
+    assert all(len(r["pixels"]) == 48 for r in out)
+    again = {r["media_id"]: r["pixels"] for r in resize_images(media.repartition(7), 8, 6).collect()}
+    assert all(again[r["media_id"]] == r["pixels"] for r in out)
+
+
+def test_repartition_by_bytes(spark):
+    """Partition count derives from payload bytes, not row count, and no
+    rows are lost."""
+    from logdag_spark.operators.multimodal import repartition_by_bytes
+
+    media = synthetic_media(spark, 64)
+    small = repartition_by_bytes(media, target_mb=64)
+    assert small.rdd.getNumPartitions() == 1  # few KB -> one partition
+    tiny = repartition_by_bytes(media, target_mb=1)
+    assert tiny.count() == 64
