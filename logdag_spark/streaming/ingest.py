@@ -160,3 +160,27 @@ def stateful_series_monitor(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def streaming_content_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup by content hash — the streaming analogue of
+    operators/dedup.exact_dup_groups for a training-data ingest.
+
+    ``dropDuplicatesWithinWatermark`` keys the state store on
+    sha2(text), so state holds one row per DISTINCT document seen within
+    the watermark horizon and is evicted afterwards — bounded by the
+    arrival rate × horizon, not the corpus size.  Exactly-once per
+    content within the horizon; re-arrivals beyond it are a documented
+    approximation (same trade every streaming dedup at scale makes).
+    """
+    keyed = docs.withColumn("_h", F.sha2(F.col(text_col).cast("binary"), 256))
+    return (
+        keyed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_h"])
+        .drop("_h")
+    )

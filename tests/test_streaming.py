@@ -98,3 +98,34 @@ def test_stateful_series_monitor_alerts(spark, tmp_path):
     assert float(alerts["cnt"].iloc[0]) == 30.0
     # running mean before the burst is ~1
     assert abs(float(alerts["mean_before"].iloc[0]) - 1.0) < 0.2
+
+
+@pytest.mark.slow
+def test_streaming_content_dedup(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one row per distinct text."""
+    from datetime import datetime
+
+    from logdag_spark.streaming.ingest import streaming_content_dedup
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for i in range(60):
+        # 20 distinct texts, each appearing 3x within minutes
+        rows.append((f"d{i}", f"text number {i % 20}", t0 + timedelta(minutes=i)))
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id string, text string, ts timestamp").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_content_dedup(stream, watermark="2 hours")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory").queryName("dedup_docs")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("SELECT * FROM dedup_docs").toPandas()
+    assert len(got) == 20
+    assert sorted(got["text"].unique()) == sorted({f"text number {i}" for i in range(20)})
