@@ -36,9 +36,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # scale 2000 = 31.4M sequences: sized so the parallel work dominates the
-# per-run fixed cost (driver scheduling + tiny result-side jobs, ~5 s) at
-# the high parallelism level — at half this scale the scaling measurement
-# reflects job-launch latency more than engine throughput
+# per-run fixed cost (~6 s of driver scheduling, commit protocol and
+# small result-side jobs, measured by the Amdahl fit in
+# BENCH/BASELINE.md) at the high parallelism level.  Larger is NOT
+# better: the generator scales series count with rows, and the pairwise
+# co-occurrence cross term grows quadratically in surviving series, so
+# scale 3000 runs ~6x longer per trial (measured) — past the point of
+# diminishing fixed-cost amortization.
 BENCH_SCALE = float(os.environ.get("SPARK_GRAFT_BENCH_SCALE", "2000"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
 TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "4"))

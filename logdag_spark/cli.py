@@ -8,6 +8,8 @@
     python -m logdag_spark show-subgraphs --warehouse WH
     python -m logdag_spark dump-input   --warehouse WH --out CSV_DIR
     python -m logdag_spark lineage      --warehouse WH
+    python -m logdag_spark dedup-docs   --input DOCS_PARQUET [--method exact|minhash]
+    python -m logdag_spark ann-topk     --input EMB_PARQUET [--method ivf|lsh|brute] [--k 10]
 
 Designed for ``spark-submit --py-files logdag_spark.zip`` on a cluster;
 locally it builds its own session.
@@ -32,6 +34,9 @@ def _common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--ci-func", default="fisherz", choices=["fisherz", "gsq"])
     p.add_argument("--no-filters", action="store_true")
     p.add_argument("--out", default=None, help="output dir (dump-input CSV)")
+    p.add_argument("--input", default=None, help="input parquet (dedup-docs / ann-topk)")
+    p.add_argument("--method", default=None, help="dedup-docs: exact|minhash; ann-topk: ivf|lsh|brute")
+    p.add_argument("--k", type=int, default=10, help="ann-topk neighbors per query")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -39,7 +44,7 @@ def main(argv: list[str] | None = None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
     for cmd in (
         "make-evdb", "make-dag", "show-stats", "show-edges", "show-subgraphs",
-        "dump-input", "lineage",
+        "dump-input", "lineage", "dedup-docs", "ann-topk",
     ):
         _common(sub.add_parser(cmd))
     args = ap.parse_args(argv)
@@ -97,6 +102,37 @@ def main(argv: list[str] | None = None) -> int:
             mat.show(100)
     elif args.cmd == "lineage":
         cat.stage_metrics().show(truncate=False)
+    elif args.cmd == "dedup-docs":
+        from logdag_spark.operators import dedup
+
+        docs = spark.read.parquet(args.input)
+        if (args.method or "exact") == "exact":
+            out = dedup.exact_dup_groups(docs)
+        else:
+            out = dedup.minhash_lsh_candidates(docs)
+        out.show(100, truncate=False)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+    elif args.cmd == "ann-topk":
+        from pyspark.sql import functions as F
+
+        from logdag_spark.operators import similarity
+
+        emb = spark.read.parquet(args.input)
+        dim = len(emb.select("embedding").first()["embedding"])
+        q = emb.where(F.col("vec_id") < 20)
+        method = args.method or "ivf"
+        if method == "ivf":
+            out = similarity.ivf_topk(emb, q, dim=dim, k=args.k)
+        elif method == "lsh":
+            out = similarity.lsh_topk(emb, q, dim=dim, k=args.k)
+        else:
+            out = similarity.brute_force_topk(emb, q, k=args.k)
+        out.orderBy("query_id", "rank").show(100, truncate=False)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
     spark.stop()
     return 0
 
