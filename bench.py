@@ -210,9 +210,15 @@ def main() -> None:
     spark = _spark(CPUS)
     for name in HEADLINE:
         fn, _ = QUERIES[name]
-        t0 = time.monotonic()
-        fn(spark, SF_DIR).count()
-        q_times[name] = round(time.monotonic() - t0, 3)
+        # min-of-2: a single cold run mixes JIT/codegen warm-up and
+        # hypervisor steal spikes into operator latency (observed 8x
+        # swings on identical queries); the min is the steady-state
+        trials = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn(spark, SF_DIR).count()
+            trials.append(time.monotonic() - t0)
+        q_times[name] = round(min(trials), 3)
     spark.stop()
 
     out = {

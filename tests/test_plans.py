@@ -93,3 +93,26 @@ def test_tumbling_agg_uses_whole_stage_codegen(spark, sf01_dir):
     plan = _plan(df)
     assert "*(" in plan  # whole-stage codegen marker
     assert "BatchScan" in plan or "FileScan" in plan
+
+
+def test_gsq_edges_plan_shape(spark):
+    """G² sparse path: unit_nbins joins as BROADCAST, the co-occurrence
+    self-join stays a hash join on (unit, bin), and the G² expression
+    itself is pure column math (no Python eval in the plan)."""
+    from datetime import datetime
+
+    from logdag_spark.pipeline.correlate import gsq_edges
+
+    rows = [
+        ("u", str(j), datetime(2024, 1, 1, 0, i), 1.0)
+        for i in range(30)
+        for j in range(4)
+        if (i + j) % 3 != 0
+    ]
+    mat = spark.createDataFrame(
+        rows, "unit string, eid string, bin timestamp, cnt double"
+    ).localCheckpoint(eager=True)
+    nb = spark.createDataFrame([("u", 30)], "unit string, n long")
+    plan = _plan(gsq_edges(mat, nb, emit_all=True))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
