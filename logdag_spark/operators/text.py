@@ -98,14 +98,20 @@ def lang_id(col: str = "text") -> Column:
 
 def fingerprint(col: str = "text", window: int = 8) -> Column:
     """Document fingerprint: min of rolling xxhash64 over token n-gram
-    windows (winnowing-style).  Deterministic, shuffle-free."""
-    toks = tokenize(col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, window), " "))
-    )
-    return F.array_min(grams)
+    windows (winnowing-style).  Deterministic, shuffle-free.  The token
+    array is let-bound (single-element transform) so the regex split runs
+    once per row, not once per window position."""
+
+    def per_doc(toks: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0)))
+        return F.array_min(
+            F.transform(
+                idx,
+                lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, window), " ")),
+            )
+        )
+
+    return F.transform(F.array(tokenize(col)), per_doc)[0]
 
 
 def add_text_features(df: DataFrame, col: str = "text") -> DataFrame:
