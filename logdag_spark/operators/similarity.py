@@ -42,8 +42,15 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def normalize(a: Column) -> Column:
-    n = l2norm(a)
-    return F.transform(a, lambda x: F.when(n > 0, x / n).otherwise(F.lit(0.0)))
+    # let-bind the norm in a struct element: referencing the l2norm
+    # expression inside the per-element lambda would re-run the aggregate
+    # per coordinate — O(dim²) per vector
+    return F.transform(
+        F.array(F.struct(a.alias("v"), l2norm(a).alias("n"))),
+        lambda s: F.transform(
+            s["v"], lambda x: F.when(s["n"] > 0, x / s["n"]).otherwise(F.lit(0.0))
+        ),
+    )[0]
 
 
 def brute_force_topk(
