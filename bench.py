@@ -66,6 +66,8 @@ HEADLINE = [
     "minhash_lsh_candidates",
     "simhash_near_dups",
     "cosine_topk",
+    "ivf_topk",
+    "gsq_edges_1h",
 ]
 
 
