@@ -12,9 +12,22 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
-from datetime import timedelta
+from datetime import datetime, timedelta, timezone
 
 _UNIT_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
+
+
+def to_utc_ms(t: datetime) -> int:
+    """Epoch ms under the engine's naive-means-UTC convention.
+
+    Spark collects timestamps as naive datetimes in the session timezone
+    (pinned to UTC in session.py); plain ``datetime.timestamp()`` would
+    instead interpret a naive value in the DRIVER's local timezone and
+    silently shift every driver-side bin origin on a non-UTC machine.
+    """
+    if t.tzinfo is None:
+        t = t.replace(tzinfo=timezone.utc)
+    return int(t.timestamp() * 1000)
 
 
 def str2dur(s: str) -> timedelta:

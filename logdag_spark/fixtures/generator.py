@@ -33,6 +33,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from logdag_spark.config import to_utc_ms
+
 DEFAULT_T0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
 N_HOSTS = 9
 N_TEMPLATES = 24
@@ -185,7 +187,7 @@ def gen_tokens(
     enrichment stage (FIXTURES.md §1).
     """
     term_s = term.total_seconds()
-    t0_ms = int(t0.timestamp() * 1000)
+    t0_ms = to_utc_ms(t0)
     specs = spark.createDataFrame(stream_specs(scale, term))
 
     # two-level explode: chunk the per-stream index space so no single

@@ -95,19 +95,42 @@ def minhash_signatures(
     row per document regardless of shingle count.
     Output: (_id, h0..h{n-1}).
     """
-    P = (1 << 31) - 1  # Mersenne prime; a*x + b stays < 2^62 (ANSI-safe)
-    sh = df.select(
+    # Two 31-bit base values per shingle, split from ONE xxhash64: a
+    # single 31-bit base would cap shingle identity at 2^31 (at ~1e9
+    # distinct shingles, base collisions alias two shingles across ALL K
+    # signatures, inflating estimated Jaccard).  With the (low, high)
+    # halves feeding the affine family, whole-shingle aliasing needs a
+    # 62-bit collision of the full hash.  a*h1 + b*h2 + c < 2^63 so
+    # ANSI-mode long math is safe, and the shingle string is hashed once.
+    P = (1 << 31) - 1  # Mersenne prime
+    M31 = F.lit((1 << 31) - 1).cast("long")
+    h64 = F.xxhash64("_sh")
+    base = df.select(
         F.col(id_col).alias("_id"), F.explode(shingles(col, k)).alias("_sh")
-    ).select("_id", F.pmod(F.xxhash64("_sh"), F.lit(P)).alias("_h"))
+    ).select(
+        "_id",
+        h64.bitwiseAND(M31).alias("_h1"),
+        F.shiftrightunsigned(h64, 31).bitwiseAND(M31).alias("_h2"),
+    )
 
     def mix(i: int):
         # deterministic per-seed affine constants in [1, P)
         a = (0x9E3779B9 * (2 * i + 1)) % P or 1
-        b = (0x85EBCA6B * (i + 1)) % P
-        return F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(P))
+        b = (0x85EBCA6B * (i + 1)) % P or 1
+        c = (0xC2B2AE35 * (i + 1)) % P
+        return F.pmod(
+            F.col("_h1") * F.lit(a) + F.col("_h2") * F.lit(b) + F.lit(c),
+            F.lit(P),
+        )
 
+    # the K mixes live in the PROJECTION (codegen splits a wide project
+    # into many small JIT-able methods) and the aggregate sees plain
+    # columns — K mixed expressions inside min() aggs form one giant
+    # method that blows the 8KB JIT limit and falls back to the
+    # bytecode interpreter
+    sh = base.select("_id", *[mix(i).alias(f"h{i}") for i in range(num_hashes)])
     return sh.groupBy("_id").agg(
-        *[F.min(mix(i)).alias(f"h{i}") for i in range(num_hashes)]
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
     )
 
 

@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from logdag_spark.config import to_utc_ms
+
 
 # --------------------------------------------------------------- enriching
 
@@ -458,12 +460,18 @@ def kmeans_units(
                 break
         assign = new_assign
         sizes = assign.groupBy("cid").agg(F.count("*").alias("sz"))
-        centers = (
+        new_centers = (
             vec.join(assign, "unit")
             .groupBy("cid", "feat")
             .agg(F.sum("w").alias("sw"))
             .join(F.broadcast(sizes), "cid")
             .select("cid", "feat", (F.col("sw") / F.col("sz")).alias("cw"))
+        )
+        # a cid with no assigned units keeps its previous center (it can
+        # win units back later) instead of silently vanishing from the
+        # inner join — k stays k
+        centers = new_centers.unionByName(
+            centers.join(F.broadcast(sizes), "cid", "left_anti")
         )
     # renumber by smallest member unit (stable, init-independent labels)
     first = assign.groupBy("cid").agg(F.min("unit").alias("rep"))
@@ -543,7 +551,7 @@ def temporal_edge_sort(
 
     ``matrix`` is the long-form (unit, eid, bin, cnt).
     """
-    dist = F.abs(F.unix_millis(F.col("bin")) - F.lit(int(query_ts.timestamp() * 1000)))
+    dist = F.abs(F.unix_millis(F.col("bin")) - F.lit(to_utc_ms(query_ts)))
     node_score = (
         matrix.groupBy("unit", "eid")
         .agg((F.sum(dist * F.col("cnt")) / F.sum("cnt")).alias("node_dist"))

@@ -206,6 +206,10 @@ def kmeans_centroids(
         .limit(n_clusters)
         .collect()
     )
+    if not seeds:
+        raise ValueError("kmeans_centroids: empty corpus")
+    # a corpus smaller than n_clusters clamps k to the corpus size
+    n_clusters = min(n_clusters, len(seeds))
     cent = _normalize_rows(
         np.array([r["_v"] for r in seeds], dtype=np.float64)
     )

@@ -32,6 +32,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from logdag_spark.config import to_utc_ms
+
 DEFAULT_KEYS = ("measure", "host", "key")
 
 
@@ -66,7 +68,7 @@ def bin_labels(
     bin_diff: timedelta | None = None,
 ):
     """Column expression mapping bin index -> bin label timestamp (ms)."""
-    t0 = int(dt_range[0].timestamp() * 1000)
+    t0 = to_utc_ms(dt_range[0])
     size = _ms(bin_size)
     slide = _ms(bin_diff) if bin_diff else size
     step = size if method == "sequential" else slide
@@ -90,8 +92,8 @@ def discretize(
     dtutil.discretize's default count mode).  Bins with no events are
     absent — use :func:`fill_bins` for the zero-filled spine.
     """
-    t0_ms = int(dt_range[0].timestamp() * 1000)
-    end_ms = int(dt_range[1].timestamp() * 1000)
+    t0_ms = to_utc_ms(dt_range[0])
+    end_ms = to_utc_ms(dt_range[1])
     size = _ms(bin_size)
     slide = _ms(bin_diff) if bin_diff else size
     total = n_bins(dt_range, bin_size, method, bin_diff)
@@ -194,7 +196,7 @@ def rebin(
 ) -> DataFrame:
     """A6: coarsen consecutive bins by summation
     (/root/reference/logdag/dtutil.py:586-598)."""
-    t0_ms = int(dt_range[0].timestamp() * 1000)
+    t0_ms = to_utc_ms(dt_range[0])
     size = _ms(new_bin)
     idx = _floordiv(F.unix_millis(F.col("bin")) - t0_ms, size)
     label = F.timestamp_millis(F.lit(t0_ms) + idx * size)

@@ -327,13 +327,9 @@ def label_step_ms(
 
 
 def _to_utc_ms(t0: datetime) -> int:
-    # Spark collects timestamps as naive datetimes in the session TZ
-    # (pinned to UTC in session.py); make that explicit
-    from datetime import timezone
+    from logdag_spark.config import to_utc_ms
 
-    if t0.tzinfo is None:
-        t0 = t0.replace(tzinfo=timezone.utc)
-    return int(t0.timestamp() * 1000)
+    return to_utc_ms(t0)
 
 
 def assemble_unit_matrix(

@@ -124,7 +124,10 @@ def run_pipeline(
         # consumer is discretize) with |series| x |fine bins| rows instead
         # of the raw event count entering the next shuffle
         mode = "weighted" if weighted_output_ok(cfg, dt_range) else "events"
-        filtered = filter_series(routed_in, dt_range, cfg, output=mode)
+        filtered = filter_series(
+            routed_in, dt_range, cfg, output=mode,
+            catalog=catalog if mode == "events" else None,
+        )
     else:
         filtered = routed_in
 
@@ -174,6 +177,14 @@ def run_pipeline(
             if c in tcols:
                 sel.append(c)
         pk_dim = evdim.join(F.broadcast(template_dim.select(*sel)), "key", "left")
+        if "source" in tcols:
+            # series whose key matches no log template gid are the
+            # SNMP-derived features/vsources: without this coalesce their
+            # NULL source made the additional-source rule silently match
+            # nothing on mixed log+snmp runs
+            pk_dim = pk_dim.withColumn(
+                "source", F.coalesce("source", F.lit("snmp"))
+            )
         noedge = build_noedge(candidate_pairs(pk_dim), cfg.pk_rules, pk_context or {})
 
     bin_diff = cfg.bin_diff if cfg.ci_bin_method != "sequential" else None

@@ -45,7 +45,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from logdag_spark.config import PipelineConfig, str2dur
+from logdag_spark.config import PipelineConfig, str2dur, to_utc_ms
 
 
 # ---------------------------------------------------------------- numerics
@@ -393,6 +393,7 @@ def filter_series(
     cfg: PipelineConfig,
     measures: Iterable[str] = ("log_feature",),
     output: str = "events",
+    catalog=None,
 ) -> DataFrame:
     """Apply the filter chain per (measure, host, key) series.
 
@@ -428,7 +429,7 @@ def filter_series(
             raise ValueError("weighted output needs integral-ms rule bins")
         return filter_series_rows(routed, dt_range, cfg, measures)
 
-    t0_ms = int(dt_range[0].timestamp() * 1000)
+    t0_ms = to_utc_ms(dt_range[0])
     term_s = term.total_seconds()
     sf = SeriesFilter(cfg, term)
     measures = list(measures)
@@ -488,7 +489,15 @@ def filter_series(
     out = pre.groupBy(*SERIES_COLS).applyInPandas(kernel, _VERDICT_SCHEMA)
     if weighted:
         return out.drop("verdict").unionByName(rest)
-    out = out.cache()  # tiny: one row per raw-kept series + remainder bins
+    # the verdict frame is consumed twice (raw keys + replaced rows) —
+    # materialize once.  Through the catalog it lands on disk (heap
+    # stays flat across repeated invocations); the cache fallback pins
+    # executor memory until the session clears it, so long-lived
+    # sessions calling events-mode repeatedly should pass a catalog.
+    if catalog is not None:
+        out = catalog.write(out, "series_verdicts", stage="series_verdicts")
+    else:
+        out = out.cache()  # tiny: one row per raw-kept series + remainder bins
     raw_keys = out.where(F.col("verdict") == "raw").select(*SERIES_COLS)
     kept_raw = target.join(F.broadcast(raw_keys), list(SERIES_COLS), "left_semi")
     replaced = out.where(F.col("verdict") == "replace").drop("verdict")

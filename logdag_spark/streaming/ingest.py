@@ -122,11 +122,13 @@ def stateful_series_monitor(
             return
         n, total = state.get if state.exists else (0, 0.0)
         rows = []
-        for pdf in pdfs:
+        # aggregate across the WHOLE iterator before scoring: a bin split
+        # across Arrow chunks would otherwise emit partial counts and
+        # bump the running-mean state once per fragment
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
             binned = (
-                pdf.assign(
-                    bin=pdf["ts"].dt.floor(f"{interval_s}s")
-                )
+                pdf.assign(bin=pdf["ts"].dt.floor(f"{interval_s}s"))
                 .groupby("bin")["val"].sum().sort_index()
             )
             for b, cnt in binned.items():

@@ -108,3 +108,27 @@ def test_rebin(spark, events):
     got = {(r["bin"], r["cnt"]) for r in coarse.collect()}
     want = {(r["bin"], r["cnt"]) for r in direct.collect()}
     assert got == want
+
+
+def test_to_utc_ms_ignores_driver_local_timezone():
+    """Naive datetimes are UTC by convention: the bin origin must not
+    shift when the driver runs in a non-UTC timezone (review finding)."""
+    import os
+    import time as _time
+    from datetime import datetime, timezone
+
+    from logdag_spark.config import to_utc_ms
+
+    naive = datetime(2024, 1, 1)
+    aware = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    old = os.environ.get("TZ")
+    os.environ["TZ"] = "Asia/Tokyo"
+    _time.tzset()
+    try:
+        assert to_utc_ms(naive) == to_utc_ms(aware) == 1704067200000
+    finally:
+        if old is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old
+        _time.tzset()

@@ -226,3 +226,37 @@ def test_snmp_feature_pipeline(spark, inputs):
         .select("key").distinct().collect()
     }
     assert keys == {"all"}
+
+
+def test_additional_source_rule_prunes_snmp_pairs(spark, inputs):
+    """Review regression: SNMP-derived feature series (key='all', no
+    template gid) must coalesce to source='snmp' in the prior-knowledge
+    dim, so the additional-source rule actually forbids snmp-snmp
+    edges on mixed runs."""
+    labeled, hmeta, tdim = inputs
+    base = dict(
+        cause_algorithm="pc-corr", ci_bin_size="5m",
+        snmp_vsources=(("snmp_sum", "snmp_feature"),),
+        snmp_features=(
+            {"name": "snmp_activity", "source": "snmp_sum",
+             "func_list": ["fillzero"]},
+        ),
+        snmp_bin_size="1m",
+    )
+    res = run_pipeline(
+        spark, fx.contract(labeled), hmeta, tdim, DT_RANGE,
+        PipelineConfig(**base, pk_rules=("additional-source",)),
+        apply_filters=True,
+    )
+    snmp_keys = {
+        (r["unit"], r["eid"])
+        for r in res.evdim.where(F.col("key") == "all").collect()
+    }
+    both_snmp = [
+        r
+        for r in res.edges.collect()
+        if (r["unit"], r["src_eid"]) in snmp_keys
+        and (r["unit"], r["dst_eid"]) in snmp_keys
+    ]
+    assert both_snmp == [], f"snmp-snmp edges survived: {both_snmp}"
+    assert res.edges.count() > 0  # log side still produces edges
