@@ -246,16 +246,24 @@ def simhash_signatures(
     toks = df.select(
         F.col(id_col).alias("_id"), F.explode(tokenize(col)).alias("_t")
     ).withColumn("_h", F.xxhash64("_t"))
-    votes = toks.groupBy("_id").agg(
+    # ±1 vote indicators live in the projection (codegen splits wide
+    # projects into small JIT-able methods); the aggregate sums plain
+    # columns — conditional expressions inside the sums form one giant
+    # method past the 8KB JIT limit (same cliff as minhash_signatures)
+    voted = toks.select(
+        "_id",
         *[
-            F.sum(
-                F.when(
-                    F.col("_h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0,
-                    1,
-                ).otherwise(-1)
-            ).alias(f"b{b}")
+            F.when(
+                F.col("_h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0,
+                1,
+            )
+            .otherwise(-1)
+            .alias(f"b{b}")
             for b in range(bits)
-        ]
+        ],
+    )
+    votes = voted.groupBy("_id").agg(
+        *[F.sum(f"b{b}").alias(f"b{b}") for b in range(bits)]
     )
     sig = F.lit(0).cast("long")
     for b in range(bits):
