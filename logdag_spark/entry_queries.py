@@ -1081,6 +1081,35 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_media_frame_sample(spark, sf_dir):
+    """Multimodal frame-sampling PLAN (pure column math around the
+    decode seam): one row per (video, frame timestamp).  Media rows
+    derive deterministically from the documents table so the plan is
+    DuckDB-oracle-checkable."""
+    from logdag_spark.operators.multimodal import frame_sample_plan
+
+    d = _load(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 2, F.lit("video"))
+        .otherwise(F.lit("image"))
+        .alias("kind"),
+        (F.length("text") * 10).cast("int").alias("duration_ms"),
+    )
+    plan = frame_sample_plan(media, every_ms=1000)
+    return plan.select(
+        "media_id", F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms")
+    )
+
+
+SQL_FRAME_SAMPLE = """
+SELECT doc_id::varchar AS media_id,
+       unnest(range(0, greatest(length(text) * 10 - 1, 0) + 1, 1000))::bigint
+           AS frame_ts_ms
+FROM documents WHERE doc_id % 3 = 2
+"""
+
+
 def q_lingam_daily(spark, sf_dir):
     """G5: DirectLiNGAM weighted directed edges per day-unit over the
     hourly event-type series (non-SQL-expressible: iterative entropy
@@ -1915,6 +1944,7 @@ QUERIES = {
     "sync_event_merge": (q_sync_event_merge, SQL_SYNC_MERGE),
     "host_alias_area": (q_host_alias_area, SQL_ALIAS_AREA),
     "anonymize_roundtrip": (q_anonymize_roundtrip, SQL_ANON_ROUNDTRIP),
+    "media_frame_sample": (q_media_frame_sample, SQL_FRAME_SAMPLE),
     # Spark-only (rows-only checks)
     "kmeans_daily": (q_kmeans_daily, None),
     "anomaly_iforest": (q_anomaly_iforest, None),
