@@ -215,6 +215,33 @@ def run_pipeline(
             edges = orient_depth0_edges(
                 fisherz_edges(pairs_r, cfg.skeleton_threshold)
             )
+        elif cfg.ci_func == "gsq":
+            # sparse scale path for the reference's binarized gsq pc-corr:
+            # contingency counts from presence rows (correlate.gsq_edges,
+            # parity with the dense kernel's marginal test proven in
+            # tests), phi-coefficient weights (= np.corrcoef on the
+            # binarized matrix), the same depth-0 CPDAG orientation
+            # kernel as the fisherz path
+            from logdag_spark.pipeline.correlate import gsq_edges
+
+            mat_bin = mat.withColumn(
+                "cnt", (F.col("cnt") >= 1).cast("double")
+            )
+            skel = gsq_edges(mat_bin, nb, alpha=cfg.skeleton_threshold)
+            if noedge is not None:
+                ne = noedge.select("unit", "eid1", "eid2").toDF(
+                    "unit", "eid1", "eid2"
+                )
+                skel = skel.join(ne, ["unit", "eid1", "eid2"], "left_anti")
+            edges = orient_depth0_edges(
+                skel.select(
+                    "unit",
+                    F.col("eid1").alias("src_eid"),
+                    F.col("eid2").alias("dst_eid"),
+                    F.lit(False).alias("directed"),
+                    F.col("r").alias("weight"),
+                )
+            )
         else:
             edges = pc_edges(
                 mat, _unit_meta(), cfg.bin_size,

@@ -165,3 +165,49 @@ def test_pc_edges_distributed(spark):
     for u in ("u1", "u2"):
         assert (u, 0, 1) in got and (u, 1, 2) in got
         assert (u, 0, 2) not in got
+
+
+def test_sparse_gsq_pc_corr_matches_dense_kernel(spark):
+    """The sparse pc-corr gsq path (gsq_edges skeleton + phi weights +
+    depth-0 orientation) must produce the same edges, directions and
+    weights as pc_edges(max_depth=0, ci_func='gsq') on identical data."""
+    from pyspark.sql import functions as F
+
+    from logdag_spark.pipeline.correlate import gsq_edges
+    from logdag_spark.pipeline.pc import orient_depth0_edges
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    nb = 500
+    rows = []
+    r = np.random.default_rng(11)
+    x = (r.random(nb) < 0.4).astype(int)
+    y = np.where(r.random(nb) < 0.8, x, (r.random(nb) < 0.4).astype(int))
+    z = np.where(r.random(nb) < 0.8, y, (r.random(nb) < 0.4).astype(int))
+    w = (r.random(nb) < 0.3).astype(int)  # independent
+    for eid, series in [(0, x), (1, y), (2, z), (3, w)]:
+        for b in range(nb):
+            if series[b] > 0:
+                rows.append(("u", eid, t0 + timedelta(minutes=b), float(series[b])))
+    mdf = spark.createDataFrame(
+        rows, "unit string, eid long, bin timestamp, cnt double"
+    )
+    dense = pc_edges(
+        mdf, {"u": (t0, nb)}, timedelta(minutes=1), ci_func="gsq", alpha=0.01,
+        max_depth=0,
+    )
+    nbdf = spark.createDataFrame([("u", nb)], "unit string, n long")
+    skel = gsq_edges(mdf, nbdf, alpha=0.01)
+    sparse = orient_depth0_edges(
+        skel.select(
+            "unit",
+            F.col("eid1").alias("src_eid"),
+            F.col("eid2").alias("dst_eid"),
+            F.lit(False).alias("directed"),
+            F.col("r").alias("weight"),
+        )
+    )
+    d = {(r["src_eid"], r["dst_eid"], r["directed"]): r["weight"] for r in dense.collect()}
+    s = {(r["src_eid"], r["dst_eid"], r["directed"]): r["weight"] for r in sparse.collect()}
+    assert set(d) == set(s) and len(d) > 0
+    for k in d:
+        assert abs(d[k] - s[k]) < 1e-9, k
