@@ -1546,6 +1546,90 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_event_detail(spark, sf_dir):
+    """EventDetail message-level drill-down
+    (/root/reference/logdag/log2event.py:255-310): resolve each daily DAG
+    edge back to the RAW rows of both endpoint events within the edge's
+    unit window — the reference's per-edge message cache becomes one join
+    from the edge list back to the event store (at 10^12 rows the join is
+    partition-pruned by the unit's day partition)."""
+    edges = _daily_edges(spark, sf_dir)
+    raw = (
+        _load(spark, sf_dir, "events")
+        .where((F.col("ts") >= F.lit(T0)) & (F.col("ts") < F.lit(T_END)))
+        .select(
+            F.date_format("ts", "yyyyMMdd").alias("unit"),
+            F.col("event_type").alias("key"),
+            F.col("user_id").cast("string").alias("host"),
+            (F.unix_millis("ts") / 1000).cast("bigint").alias("ts_s"),
+        )
+    )
+    return edges.join(
+        raw,
+        (edges["unit"] == raw["unit"])
+        & ((raw["key"] == edges["k1"]) | (raw["key"] == edges["k2"])),
+    ).select(edges["unit"], "k1", "k2", "key", "host", "ts_s")
+
+
+SQL_EVENT_DETAIL = _SQL_DAILY_EDGES + f"""
+SELECT e.unit, e.k1, e.k2, v.event_type AS key,
+       v.user_id::varchar AS host,
+       (epoch_ms(v.ts) // 1000)::bigint AS ts_s
+FROM kept e JOIN events v
+  ON strftime(v.ts, '%Y%m%d') = e.unit
+ AND (v.event_type = e.k1 OR v.event_type = e.k2)
+WHERE (epoch_ms(v.ts) // 1000) >= {T0_S}
+  AND (epoch_ms(v.ts) // 1000) < {T0_S + TERM_S}
+"""
+
+
+def q_eval_accuracy(spark, sf_dir):
+    """Eval accuracy aggregates
+    (/root/reference/logdag/eval/__main__.py:20-360): per-ticket
+    match-rate summary over the trouble<->edge match output — matched
+    edge count, total candidate edges, match rate — plus nothing the
+    match itself doesn't already compute (pure groupBy over J8)."""
+    from logdag_spark.operators.graphops import match_trouble_edges
+
+    edges, evdim = _daily_graph(spark, sf_dir)
+    trouble = spark.createDataFrame(
+        [(1, "click"), (1, "error"), (2, "view")], "tid int, identifier string"
+    )
+    m = match_trouble_edges(edges, evdim, trouble, rule="all")
+    per_tid = m.groupBy("tid").agg(F.count("*").alias("n_matched"))
+    total = edges.agg(F.count("*").alias("n_edges"))
+    return (
+        trouble.select("tid").distinct()
+        .join(per_tid, "tid", "left")
+        .crossJoin(total)
+        .select(
+            "tid",
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+            "n_edges",
+            F.round(
+                F.coalesce("n_matched", F.lit(0)) / F.col("n_edges"), 6
+            ).alias("match_rate"),
+        )
+    )
+
+
+SQL_EVAL_ACCURACY = _SQL_DAILY_EDGES + """
+, trouble(tid, ident) AS (VALUES (1, 'click'), (1, 'error'), (2, 'view')),
+hits AS (SELECT DISTINCT tid, ident FROM trouble),
+matched AS (
+  SELECT t.tid, count(*) AS n_matched FROM (
+    SELECT DISTINCT h.tid, e.unit, e.k1, e.k2
+    FROM kept e JOIN hits h ON h.ident = e.k1 OR h.ident = e.k2
+  ) t GROUP BY 1
+),
+total AS (SELECT count(*)::bigint AS n_edges FROM kept)
+SELECT t.tid, coalesce(m.n_matched, 0)::bigint AS n_matched, total.n_edges,
+       round(coalesce(m.n_matched, 0) / total.n_edges, 6) AS match_rate
+FROM (SELECT DISTINCT tid FROM trouble) t
+LEFT JOIN matched m USING (tid) CROSS JOIN total
+"""
+
+
 def q_common_components_daily(spark, sf_dir):
     """G10 cluster common components (edge_search.py:135-148): geometric
     mean of normalized node-presence vectors over the 3 busiest daily
@@ -1945,6 +2029,9 @@ QUERIES = {
     "host_alias_area": (q_host_alias_area, SQL_ALIAS_AREA),
     "anonymize_roundtrip": (q_anonymize_roundtrip, SQL_ANON_ROUNDTRIP),
     "media_frame_sample": (q_media_frame_sample, SQL_FRAME_SAMPLE),
+    # round-3 oracle coverage
+    "event_detail": (q_event_detail, SQL_EVENT_DETAIL),
+    "eval_accuracy": (q_eval_accuracy, SQL_EVAL_ACCURACY),
     # Spark-only (rows-only checks)
     "kmeans_daily": (q_kmeans_daily, None),
     "anomaly_iforest": (q_anomaly_iforest, None),

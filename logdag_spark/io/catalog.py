@@ -44,6 +44,11 @@ class Catalog:
         os.makedirs(warehouse, exist_ok=True)
         self.use_iceberg = _iceberg_available(spark)
         self._lineage_dir = os.path.join(warehouse, "_lineage")
+        # observed row counts of this session's writes (table -> rows):
+        # lets callers report stage row counts without re-scanning the
+        # checkpoint (a count() on a just-written table is a pure-serial
+        # extra job)
+        self.rows_written: dict[str, int] = {}
 
     # ------------------------------------------------------------- paths
 
@@ -102,7 +107,12 @@ class Catalog:
         with open(os.path.join(self.path(table), "_LOGDAG_COMMITTED"), "w") as f:
             f.write(json.dumps({"ts_unix": time.time(), "mode": mode}))
         wall_ms = int((time.monotonic() - t0) * 1000)
-        out = self.spark.read.parquet(self.path(table))
+        # re-read with the writer's schema: schema inference on a freshly
+        # written table is a parquet-footer job (serial overhead per
+        # checkpoint); partition columns resolve by name from the
+        # directory layout exactly as under inference
+        out = self.spark.read.schema(df.schema).parquet(self.path(table))
+        self.rows_written[table] = n_rows
         self._record(stage or table, table, n_rows, wall_ms)
         return out
 

@@ -198,14 +198,18 @@ def orient_cpdag(adj: np.ndarray, sepsets: dict) -> np.ndarray:
     """
     p = adj.shape[0]
     g = adj.copy()
-    # v-structures: i - j - k with i,k nonadjacent and j not in sepset(i,k)
+    # v-structures: i - j - k with i,k nonadjacent and j not in sepset(i,k).
+    # A missing entry means the pair was never CI-tested — pruned from the
+    # initial graph by prior knowledge — and pcalg initializes sep_set to
+    # empty sets, so those pairs orient as if separated by {} (matches
+    # orient_depth0_edges; ADVICE r2)
     for j in range(p):
         nbrs = np.nonzero(adj[j])[0]
         for i, k in combinations(nbrs, 2):
             if adj[i, k]:
                 continue
-            sep = sepsets.get((i, k))
-            if sep is not None and j not in sep:
+            sep = sepsets.get((i, k), ())
+            if j not in sep:
                 # orient i->j<-k: drop j->i and j->k if still reversible
                 if g[i, j] and g[j, i]:
                     g[j, i] = False

@@ -235,6 +235,66 @@ def import_dag_force(
     )
 
 
+def host_allow_pairs(
+    rules: tuple[str, ...], context: dict
+) -> DataFrame | None:
+    """Host-level over-approximation of the allow set for CROSS-HOST
+    pairs, for pushing prior knowledge below the pairwise co-occurrence
+    join (the reference's stated intent: shrink the CI-test space, not
+    the result — pknowledge.py:82-91).
+
+    Returns a symmetric ``(host1, host2)`` frame: a cross-host event pair
+    can only survive the configured rules if its hosts appear here
+    (same-host pairs are always allowed by every host-level rule, so they
+    are NOT listed — the consumer keeps ``host1 == host2`` rows
+    unconditionally).  Sound over-approximation: rules that constrain
+    more than hosts (groups, sources, imported identifiers) contribute no
+    host restriction here and are enforced exactly by the eid-level
+    noedge anti-join.  Returns None when no configured rule restricts at
+    host level — then no filter is pushed.
+
+    * ``topology``: cross-host allowed iff topology-adjacent (exact).
+    * ``multi-topology``: allowed iff adjacent in ANY layer (superset of
+      the exact per-group-layer rule).
+    * ``independent``: no cross-host pair allowed (exact) — the returned
+      frame is empty, so the co-occurrence join keeps same-host rows
+      only.
+
+    Multiple host-level rules intersect (a pair must satisfy all).
+    """
+
+    def sym(df: DataFrame) -> DataFrame:
+        return (
+            df.select("host1", "host2")
+            .union(
+                df.select(
+                    F.col("host2").alias("host1"), F.col("host1").alias("host2")
+                )
+            )
+            .distinct()
+        )
+
+    allows: list[DataFrame] = []
+    for name in rules:
+        if name == "topology":
+            allows.append(sym(context["topology"]))
+        elif name == "multi-topology":
+            allows.append(sym(context["multi_topology"].select("host1", "host2")))
+        elif name == "independent":
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            allows.append(
+                spark.createDataFrame([], "host1 string, host2 string")
+            )
+    if not allows:
+        return None
+    out = allows[0]
+    for a in allows[1:]:
+        out = out.join(a, ["host1", "host2"], "left_semi")
+    return out
+
+
 def combine_noedge(*rules: DataFrame) -> DataFrame:
     out = None
     for r in rules:
@@ -276,6 +336,7 @@ def build_noedge(
                     pairs,
                     need("multi_topology"),
                     context.get("group_layer", {}),
+                    default_layer=context.get("default_layer", "other"),
                 )
             )
         elif name == "independent":

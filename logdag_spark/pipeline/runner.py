@@ -35,7 +35,11 @@ from logdag_spark.pipeline.correlate import (
 from logdag_spark.pipeline.enrich import enrich
 from logdag_spark.pipeline.parse import parse_tokens, parse_tokens_pandas
 from logdag_spark.pipeline.pc import orient_depth0_edges, pc_edges
-from logdag_spark.pipeline.pknowledge import build_noedge, candidate_pairs
+from logdag_spark.pipeline.pknowledge import (
+    build_noedge,
+    candidate_pairs,
+    host_allow_pairs,
+)
 from logdag_spark.pipeline.route import route
 from logdag_spark.pipeline.series_filter import filter_series, weighted_output_ok
 
@@ -170,6 +174,8 @@ def run_pipeline(
     # the CI-test space — pc gets it as the initial adjacency, pc-corr as
     # an anti-join on the pair frame, lingam as zeroed coefficients.
     noedge = None
+    allowed_hosts = None
+    ev_hosts = None
     if cfg.pk_rules:
         tcols = template_dim.columns
         sel = [F.col("gid").cast("string").alias("key")]
@@ -186,6 +192,11 @@ def run_pipeline(
                 "source", F.coalesce("source", F.lit("snmp"))
             )
         noedge = build_noedge(candidate_pairs(pk_dim), cfg.pk_rules, pk_context or {})
+        # host-level allow set pushed into the sparse paths' co-occurrence
+        # self-join (prune compute, not just output — pknowledge.py:82-91)
+        allowed_hosts = host_allow_pairs(cfg.pk_rules, pk_context or {})
+        if allowed_hosts is not None:
+            ev_hosts = evdim.select("unit", "eid", "host")
 
     bin_diff = cfg.bin_diff if cfg.ci_bin_method != "sequential" else None
 
@@ -205,13 +216,16 @@ def run_pipeline(
         # tiny per-unit kernel adds orientation.  gsq/binarized input
         # needs the contingency-table test -> PC kernel at depth 0.
         if cfg.ci_func == "fisherz" and not cfg.binarize:
-            pairs_r = pairwise_corr(mat, nb)
-            if noedge is not None:
-                # fresh attribute ids: both frames derive from evdim
-                ne = noedge.select("unit", "eid1", "eid2").toDF(
-                    "unit", "eid1", "eid2"
-                )
-                pairs_r = pairs_r.join(ne, ["unit", "eid1", "eid2"], "left_anti")
+            # fresh attribute ids: the noedge frame derives from evdim too
+            ne = (
+                noedge.select("unit", "eid1", "eid2").toDF("unit", "eid1", "eid2")
+                if noedge is not None
+                else None
+            )
+            pairs_r = pairwise_corr(
+                mat, nb, noedge=ne, ev_hosts=ev_hosts,
+                allowed_hosts=allowed_hosts,
+            )
             edges = orient_depth0_edges(
                 fisherz_edges(pairs_r, cfg.skeleton_threshold)
             )
@@ -227,12 +241,15 @@ def run_pipeline(
             mat_bin = mat.withColumn(
                 "cnt", (F.col("cnt") >= 1).cast("double")
             )
-            skel = gsq_edges(mat_bin, nb, alpha=cfg.skeleton_threshold)
-            if noedge is not None:
-                ne = noedge.select("unit", "eid1", "eid2").toDF(
-                    "unit", "eid1", "eid2"
-                )
-                skel = skel.join(ne, ["unit", "eid1", "eid2"], "left_anti")
+            ne = (
+                noedge.select("unit", "eid1", "eid2").toDF("unit", "eid1", "eid2")
+                if noedge is not None
+                else None
+            )
+            skel = gsq_edges(
+                mat_bin, nb, alpha=cfg.skeleton_threshold, noedge=ne,
+                ev_hosts=ev_hosts, allowed_hosts=allowed_hosts,
+            )
             edges = orient_depth0_edges(
                 skel.select(
                     "unit",

@@ -43,6 +43,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # task-commit renames instead of a serial job-commit rename loop
+        # in the driver (matters more on object stores / many files).
+        # Non-atomicity on task failure is safe here: checkpoint tables
+        # are only trusted once the catalog's completion manifest exists
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         # dynamic-partition writes otherwise SORT every task's rows by the
         # partition columns before writing (measured ~30% of the ingest
         # write's wall); with few distinct partitions per task, concurrent

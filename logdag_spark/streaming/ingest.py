@@ -96,6 +96,14 @@ def stateful_series_monitor(
     how many series ever existed — the property that matters at 10^12
     rows.
 
+    Bins are scored and emitted exactly once, when the WATERMARK passes
+    the bin's end: open bins accumulate in state across micro-batches, so
+    a bin whose events straddle two triggers still produces one (cnt,
+    alert) row and bumps the running-mean state once (ADVICE r2 — the
+    earlier per-batch aggregation emitted one partial row per trigger
+    fragment).  Bins still open when the state times out are kept and the
+    timeout re-armed; fully drained state is removed.
+
     Input: routed event rows (measure, host, key, ts, val).
     Output: (measure, host, key, bin timestamp, cnt, mean_before, alert).
     """
@@ -103,53 +111,58 @@ def stateful_series_monitor(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     interval_s = int(bin_size.total_seconds())
+    interval_ms = interval_s * 1000
+    out_cols = ["measure", "host", "key", "bin", "cnt", "mean_before", "alert"]
     out_schema = (
         "measure string, host string, key string, bin timestamp, "
         "cnt double, mean_before double, alert boolean"
     )
-    state_schema = "n long, total double"
+    # running mean (n, total) + the open-bin accumulator (parallel arrays
+    # bin-start-ms -> partial count); bounded by the watermark horizon /
+    # bin_size per series, not by stream length
+    state_schema = "n long, total double, bins array<long>, cnts array<double>"
 
     def monitor(key, pdfs, state: GroupState):
         measure, host, k = key
-        if state.hasTimedOut:
-            state.remove()
-            yield pd.DataFrame(
-                columns=[
-                    "measure", "host", "key", "bin", "cnt",
-                    "mean_before", "alert",
-                ]
-            )
-            return
-        n, total = state.get if state.exists else (0, 0.0)
-        rows = []
-        # aggregate across the WHOLE iterator before scoring: a bin split
-        # across Arrow chunks would otherwise emit partial counts and
-        # bump the running-mean state once per fragment
-        pdf = pd.concat(list(pdfs), ignore_index=True)
-        if len(pdf):
-            binned = (
-                pdf.assign(bin=pdf["ts"].dt.floor(f"{interval_s}s"))
-                .groupby("bin")["val"].sum().sort_index()
-            )
-            for b, cnt in binned.items():
-                mean = total / n if n else float(cnt)
-                rows.append(
-                    (measure, host, k, b, float(cnt), mean,
-                     bool(n > 0 and cnt > threshold * mean))
+        if state.exists:
+            n, total, open_bins, open_cnts = state.get
+            open_map = dict(zip(open_bins or [], open_cnts or []))
+        else:
+            n, total, open_map = 0, 0.0, {}
+        if not state.hasTimedOut:
+            # merge the WHOLE iterator into the open-bin map: Arrow-chunk
+            # splits and cross-batch splits land in the same accumulator
+            pdf = pd.concat(list(pdfs), ignore_index=True)
+            if len(pdf):
+                binned = (
+                    pdf.assign(bin=pdf["ts"].dt.floor(f"{interval_s}s"))
+                    .groupby("bin")["val"].sum()
                 )
-                n += 1
-                total += float(cnt)
-        state.update((n, total))
-        state.setTimeoutTimestamp(
-            state.getCurrentWatermarkMs() + timeout_minutes * 60_000
-        )
-        yield pd.DataFrame(
-            rows,
-            columns=[
-                "measure", "host", "key", "bin", "cnt",
-                "mean_before", "alert",
-            ],
-        )
+                for b, cnt in binned.items():
+                    bm = int(b.value // 1_000_000)
+                    open_map[bm] = open_map.get(bm, 0.0) + float(cnt)
+        wm = state.getCurrentWatermarkMs()
+        rows = []
+        # close bins the watermark has passed, oldest first (the running
+        # mean must see bins in event-time order)
+        for bm in sorted(open_map):
+            if bm + interval_ms > wm:
+                break
+            cnt = open_map.pop(bm)
+            mean = total / n if n else cnt
+            rows.append(
+                (measure, host, k, pd.Timestamp(bm, unit="ms"), cnt, mean,
+                 bool(n > 0 and cnt > threshold * mean))
+            )
+            n += 1
+            total += cnt
+        if state.hasTimedOut and not open_map:
+            state.remove()
+        else:
+            keys = sorted(open_map)
+            state.update((n, total, keys, [open_map[b] for b in keys]))
+            state.setTimeoutTimestamp(wm + timeout_minutes * 60_000)
+        yield pd.DataFrame(rows, columns=out_cols)
 
     return (
         events.withWatermark("ts", watermark)

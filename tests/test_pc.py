@@ -85,7 +85,15 @@ def test_meek_r1():
         ],
         dtype=bool,
     )
-    sepsets = {(0, 1): (), (1, 0): ()}  # 2 not in sepset(0,1) -> collider at 2?
+    # pcalg-complete sepsets: every non-adjacent pair has an entry — a
+    # missing entry now means "pruned before testing" and orients as if
+    # separated by {} (ADVICE r2), so (0,3)/(1,3) must record their true
+    # separator {2} to model a real PC run
+    sepsets = {
+        (0, 1): (), (1, 0): (),  # 2 not in sepset(0,1) -> collider at 2
+        (0, 3): (2,), (3, 0): (2,),
+        (1, 3): (2,), (3, 1): (2,),
+    }
     # collider 0->2<-1 then R1: 2->3
     g = orient_cpdag(adj, sepsets)
     assert g[0, 2] and not g[2, 0]
