@@ -1133,6 +1133,110 @@ def q_lingam_daily(spark, sf_dir):
     return lingam_edges(mat, meta, timedelta(hours=1))
 
 
+def q_lingam_2var_daily(spark, sf_dir):
+    """G5 DirectLiNGAM, oracle-checkable 2-variable form
+    (/root/reference/logdag/lingam_input.py:25-95): per day-unit, x is the
+    parity of the 10-minute 'error' event count (strongly non-Gaussian at
+    any event rate) and y = 2x + u with a deterministic arithmetic-hash
+    uniform noise.  The kernel must (a) identify x as exogenous from the
+    entropy measure and (b) fit the triangular coefficient by least
+    squares — for one parent with intercept that equals the population
+    regression slope, which DuckDB computes as ``regr_slope(y, x)``.  So
+    BOTH the causal-order decision and the coefficient are oracle-checked,
+    closing the last pipeline-path operator without a driver oracle."""
+    from logdag_spark.pipeline.lingam import lingam_edges
+
+    nb, days, step_s = 144, 30, 600
+    ev = _load(spark, sf_dir, "events").where(
+        (F.col("ts") >= F.lit(T0))
+        & (F.col("ts") < F.lit(T0 + timedelta(days=days)))
+        & (F.col("event_type") == "error")
+    )
+    h = F.floor(((F.unix_millis("ts") / 1000).cast("bigint") - F.lit(T0_S)) / step_s)
+    cnts = ev.groupBy(h.alias("h")).agg(F.count("*").alias("c"))
+    unit_of = F.date_format(
+        F.timestamp_seconds(F.lit(T0_S) + F.floor(F.col("h") / nb) * 86400), "yyyyMMdd"
+    ).alias("unit")
+    bin_of = F.timestamp_seconds(F.lit(T0_S) + F.col("h") * step_s).alias("bin")
+    x = cnts.select(
+        unit_of, F.lit(0).cast("long").alias("eid"), bin_of,
+        (F.col("c") % 2).cast("double").alias("cnt"),
+    )
+    spine = spark.range(days * nb).withColumnRenamed("id", "h")
+    noise = (((F.col("h") * 2654435761) % 97) / 97.0 - 0.5)
+    y = (
+        spine.join(cnts, "h", "left")
+        .select(
+            unit_of, F.lit(1).cast("long").alias("eid"), bin_of,
+            (2 * F.coalesce(F.col("c") % 2, F.lit(0)).cast("double") + noise).alias("cnt"),
+        )
+    )
+    meta = {
+        (T0 + timedelta(days=d)).strftime("%Y%m%d"): (T0 + timedelta(days=d), nb)
+        for d in range(days)
+    }
+    edges = lingam_edges(x.unionByName(y), meta, timedelta(seconds=step_s))
+    return edges.select(
+        "unit", "src_eid", "dst_eid", "directed", F.round("weight", 6).alias("weight")
+    ).orderBy("unit")
+
+
+SQL_LINGAM_2VAR = f"""
+WITH spine AS (SELECT unnest(range(0, {30 * 144})) AS h),
+x AS (
+  SELECT ((epoch_ms(ts) // 1000) - {T0_S}) // 600 AS h,
+         (count(*) % 2)::double AS x
+  FROM events
+  WHERE event_type = 'error'
+    AND (epoch_ms(ts) // 1000) >= {T0_S}
+    AND (epoch_ms(ts) // 1000) < {T0_S + 30 * 86400}
+  GROUP BY 1
+),
+xy AS (
+  SELECT s.h // 144 AS d, coalesce(x.x, 0) AS xv,
+         2 * coalesce(x.x, 0) + (((s.h * 2654435761) % 97) / 97.0 - 0.5) AS yv
+  FROM spine s LEFT JOIN x USING (h)
+)
+SELECT strftime(to_timestamp({T0_S} + d * 86400), '%Y%m%d') AS unit,
+       0::bigint AS src_eid, 1::bigint AS dst_eid, true AS directed,
+       round(regr_slope(yv, xv), 6) AS weight
+FROM xy GROUP BY 1
+HAVING abs(regr_slope(yv, xv)) >= 0.05
+ORDER BY unit
+"""
+
+
+def q_pc_depth2_daily(spark, sf_dir):
+    """G2 PC-stable at conditioning depth 2 over the daily hourly-binned
+    event-type series (rows-only + per-row fingerprint: the depth>=1
+    skeleton search is iterative conditional-independence testing with no
+    single-statement SQL oracle; the fingerprint column makes cross-run
+    drift visible in the recorded row hash/count).  Exercises the full
+    kernel (/root/reference/logdag/pc_input.py:19-52 semantics) every
+    driver round, not just in pytest."""
+    from logdag_spark.pipeline.pc import pc_edges
+
+    ev = _events_routed(spark, sf_dir)
+    b = discretize(ev, RANGE, timedelta(hours=1), keys=("key",))
+    day = F.date_format("bin", "yyyyMMdd").alias("unit")
+    types = sorted(r["key"] for r in b.select("key").distinct().collect())
+    mapping = F.create_map(
+        *[x for i, t in enumerate(types) for x in (F.lit(t), F.lit(i))]
+    )
+    mat = b.select(day, mapping[F.col("key")].cast("long").alias("eid"), "bin", "cnt")
+    ndays = (T_END - T0).days
+    meta = {
+        (T0 + timedelta(days=d)).strftime("%Y%m%d"): (T0 + timedelta(days=d), 24)
+        for d in range(ndays)
+    }
+    edges = pc_edges(mat, meta, timedelta(hours=1), ci_func="fisherz", max_depth=2)
+    w6 = F.round("weight", 6)
+    return edges.select(
+        "unit", "src_eid", "dst_eid", "directed", w6.alias("weight"),
+        F.xxhash64("unit", "src_eid", "dst_eid", "directed", w6).alias("fp"),
+    ).orderBy("unit", "src_eid", "dst_eid")
+
+
 def q_flagship_dag(spark, sf_dir):
     """The flagship tokens->DAG pipeline on the deterministic synthetic
     corpus (the driver tables carry no token arrays; BASELINE.json's input
@@ -2032,6 +2136,7 @@ QUERIES = {
     # round-3 oracle coverage
     "event_detail": (q_event_detail, SQL_EVENT_DETAIL),
     "eval_accuracy": (q_eval_accuracy, SQL_EVAL_ACCURACY),
+    "lingam_2var_daily": (q_lingam_2var_daily, SQL_LINGAM_2VAR),
     # Spark-only (rows-only checks)
     "kmeans_daily": (q_kmeans_daily, None),
     "anomaly_iforest": (q_anomaly_iforest, None),
@@ -2042,6 +2147,7 @@ QUERIES = {
     "doc_fingerprint": (q_doc_fingerprint, None),
     "media_features": (q_media_features, None),
     "lingam_daily": (q_lingam_daily, None),
+    "pc_depth2_daily": (q_pc_depth2_daily, None),
     "flagship_dag": (q_flagship_dag, None),
     "pipeline_sink_counts": (q_pipeline_sink_counts, None),
 }

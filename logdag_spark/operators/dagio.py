@@ -45,14 +45,21 @@ def dag_to_node_link(edges_unit: list[dict], nodes: list[int]) -> dict:
     }
 
 
-def export_node_link(edges: DataFrame, evdim: DataFrame, out_dir: str) -> list[str]:
+def export_node_link(
+    edges: DataFrame, evdim: DataFrame, out_dir: str,
+    stream_threshold: int = 10_000,
+) -> list[str]:
     """Write one node-link JSON per unit.
 
     ONE Spark job: per-unit edge and node lists are assembled with
     ``groupBy(unit).agg(collect_list(...))`` and full-outer joined, so the
     driver sees exactly one small row per unit (per-unit DAGs are small by
     construction) — not one filter+collect job per unit (round-1 perf-weak
-    item: O(units) jobs at 365 days x areas)."""
+    item: O(units) jobs at 365 days x areas).  Beyond ``stream_threshold``
+    units the rows are drained with ``toLocalIterator`` (one job per
+    partition, prefetched) instead of one ``collect`` so driver memory is
+    bounded by a partition, not the whole export — at 365 days x many
+    areas x anonymized tenants the unit count is open-ended."""
     os.makedirs(out_dir, exist_ok=True)
     e = edges.groupBy("unit").agg(
         F.collect_list(
@@ -62,10 +69,20 @@ def export_node_link(edges: DataFrame, evdim: DataFrame, out_dir: str) -> list[s
     n = evdim.groupBy("unit").agg(F.collect_list("eid").alias("ns"))
     both = n.join(e, "unit", "full_outer").orderBy("unit")
     paths = []
-    # collect(): exactly ONE job; rows are per-unit aggregates (small).
-    # For extreme unit counts switch to toLocalIterator (1 job per
-    # partition, bounded driver memory).
-    for row in both.collect():
+    both = both.persist()
+    try:
+        if both.count() > stream_threshold:
+            rows = both.toLocalIterator(prefetchPartitions=True)
+        else:
+            rows = both.collect()
+        _write_node_link_rows(rows, out_dir, paths)
+    finally:
+        both.unpersist()
+    return paths
+
+
+def _write_node_link_rows(rows, out_dir: str, paths: list[str]) -> None:
+    for row in rows:
         unit = row["unit"]
         es = [x.asDict() for x in (row["es"] or [])]
         ns = list(row["ns"] or [])
@@ -73,7 +90,6 @@ def export_node_link(edges: DataFrame, evdim: DataFrame, out_dir: str) -> list[s
         with open(p, "w") as f:
             json.dump(dag_to_node_link(es, ns), f, sort_keys=True)
         paths.append(p)
-    return paths
 
 
 def import_node_link(spark: SparkSession, paths: list[str]) -> DataFrame:

@@ -47,6 +47,17 @@ def test_node_link_roundtrip(spark, small_dag, tmp_path):
     assert got == want
 
 
+def test_node_link_stream_path_identical(spark, small_dag, tmp_path):
+    """toLocalIterator drain (stream_threshold=0) writes byte-identical
+    files to the collect path."""
+    edges, evdim = small_dag
+    p1 = dagio.export_node_link(edges, evdim, str(tmp_path / "a"))
+    p2 = dagio.export_node_link(edges, evdim, str(tmp_path / "b"), stream_threshold=0)
+    assert [x.rsplit("/", 1)[1] for x in p1] == [x.rsplit("/", 1)[1] for x in p2]
+    for a, b in zip(p1, p2):
+        assert open(a).read() == open(b).read()
+
+
 def test_trouble_store(spark, tmp_path):
     tdir = tmp_path / "tickets"
     tdir.mkdir()
