@@ -223,11 +223,14 @@ def main() -> None:
     spark = _spark(CPUS)
     for name in HEADLINE:
         fn, _ = QUERIES[name]
-        # min-of-2: a single cold run mixes JIT/codegen warm-up and
+        # min-of-3: a single cold run mixes JIT/codegen warm-up and
         # hypervisor steal spikes into operator latency (observed 8x
-        # swings on identical queries); the min is the steady-state
+        # swings on identical queries), and for queries with large
+        # generated classes (simhash's packed-lane aggregate) HotSpot is
+        # still compiling during the SECOND run (measured 11.5 / 6.7 /
+        # 3.1 s on identical input) — the min of three is the steady-state
         trials = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.monotonic()
             fn(spark, SF_DIR).count()
             trials.append(time.monotonic() - t0)

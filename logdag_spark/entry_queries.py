@@ -887,6 +887,58 @@ WHERE i.ix::double / (s1.n + s2.n - i.ix) >= 0.2
 """
 
 
+def q_near_dup_groups(spark, sf_dir):
+    """Near-dup dedup groups: connected components over the verified
+    Jaccard>=0.2 pair graph, min-doc_id canonical per group (the closure
+    step a dedup pipeline runs after LSH candidate verification)."""
+    from logdag_spark.operators.dedup import near_dup_groups
+
+    d = _load(spark, sf_dir, "documents")
+    pairs = all_pairs_jaccard(d, "text", "doc_id", th=0.2)
+    return near_dup_groups(pairs).orderBy("doc_id")
+
+
+SQL_NEAR_DUP_GROUPS = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_'']+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                               i -> array_to_string(toks[i:i+2], ' '))) AS gram
+  FROM t
+), gd AS (
+  SELECT DISTINCT doc_id, gram FROM g
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM gd GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ix
+  FROM gd a JOIN gd b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT i.id1, i.id2 FROM inter i
+  JOIN sizes s1 ON s1.doc_id = i.id1
+  JOIN sizes s2 ON s2.doc_id = i.id2
+  WHERE i.ix::double / (s1.n + s2.n - i.ix) >= 0.2
+), sym AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION SELECT id2, id1 FROM pairs
+), nodes AS (SELECT DISTINCT a AS node FROM sym),
+reach AS (
+  WITH RECURSIVE r(node, other) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT r.node, s.b FROM r JOIN sym s ON r.other = s.a
+  ) SELECT * FROM r
+)
+SELECT node::bigint AS doc_id, min(other)::bigint AS group_id,
+       (node = min(other)) AS is_canonical
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
 def q_doc_stats(spark, sf_dir):
     d = _load(spark, sf_dir, "documents")
     return d.groupBy("source", "lang").agg(
@@ -2137,6 +2189,7 @@ QUERIES = {
     "event_detail": (q_event_detail, SQL_EVENT_DETAIL),
     "eval_accuracy": (q_eval_accuracy, SQL_EVAL_ACCURACY),
     "lingam_2var_daily": (q_lingam_2var_daily, SQL_LINGAM_2VAR),
+    "near_dup_groups": (q_near_dup_groups, SQL_NEAR_DUP_GROUPS),
     # Spark-only (rows-only checks)
     "kmeans_daily": (q_kmeans_daily, None),
     "anomaly_iforest": (q_anomaly_iforest, None),

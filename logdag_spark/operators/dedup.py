@@ -232,6 +232,38 @@ def all_pairs_jaccard(
     return ngram_jaccard_pairs(df, pairs, col, id_col).where(F.col("jaccard") >= th)
 
 
+def near_dup_groups(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Collapse verified near-duplicate pairs (id1, id2) into dedup
+    groups: connected components over the pair graph, each member labeled
+    with its group's min doc id — the canonical representative a training
+    pipeline keeps.  Reuses the graph components kernel (one label
+    propagation over the pair frame per round; near-dup clusters are
+    shallow so it converges in a few rounds).  At oracle scale the pairs
+    come from :func:`all_pairs_jaccard`; at 100 TB from
+    :func:`minhash_lsh_candidates` + verification — the component pass
+    only ever sees the (sparse) surviving pair graph, never the corpus.
+    Output: (doc_id, group_id, is_canonical)."""
+    from logdag_spark.operators.graphops import connected_components
+
+    edges = pairs.select(
+        F.lit("").alias("unit"),
+        F.col("id1").alias("src_eid"),
+        F.col("id2").alias("dst_eid"),
+    )
+    nodes = (
+        pairs.select(F.col("id1").alias("eid"))
+        .unionByName(pairs.select(F.col("id2").alias("eid")))
+        .distinct()
+        .select(F.lit("").alias("unit"), "eid")
+    )
+    comp = connected_components(edges, nodes, max_iter)
+    return comp.select(
+        F.col("eid").alias("doc_id"),
+        F.col("component").alias("group_id"),
+        (F.col("eid") == F.col("component")).alias("is_canonical"),
+    )
+
+
 # ----------------------------------------------------------------- simhash
 
 

@@ -65,19 +65,29 @@ def brute_force_topk(
     ``broadcast(queries) x corpus`` -> per-query row_number over score: the
     corpus is scanned once, the only shuffle is the per-query top-k (a
     partial top-k per partition under AQE).  Self-matches excluded.
+    Norms are materialized once per side BEFORE the join — computing
+    ``cosine(q, c)`` per pair would redo each corpus norm |Q| times and
+    each query norm |C| times (3 array aggregates per pair instead of 1).
     Output: (query_id, neighbor_id, score, rank).
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        l2norm(F.col(vec_col)).alias("_qn"),
     )
-    c = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        l2norm(F.col(vec_col)).alias("_cn"),
+    )
+    denom = F.col("_qn") * F.col("_cn")
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("_qv"), F.col("_cv")).alias("score"),
+            F.when(denom > 0, dot(F.col("_qv"), F.col("_cv")) / denom)
+            .otherwise(F.lit(0.0))
+            .alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

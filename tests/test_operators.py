@@ -65,6 +65,22 @@ def test_ngram_jaccard_sanity(spark, docs_with_dups):
     assert {(0, 1), (3, 4), (6, 7), (9, 10)} <= got
 
 
+def test_near_dup_groups_components(spark):
+    """Chain a-b-c collapses to one group under min-id label; disjoint
+    pair keeps its own canonical."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id1 long, id2 long"
+    )
+    got = {
+        (r["doc_id"], r["group_id"], r["is_canonical"])
+        for r in dedup.near_dup_groups(pairs).collect()
+    }
+    assert got == {
+        (1, 1, True), (2, 1, False), (3, 1, False),
+        (10, 10, True), (11, 10, False),
+    }
+
+
 def test_simhash_exact_dups_zero_distance(spark, docs_with_dups):
     out = dedup.simhash_near_dups(docs_with_dups, max_hamming=0)
     got = {(r["id1"], r["id2"]) for r in out.collect()}
