@@ -234,6 +234,10 @@ def main() -> None:
             t0 = time.monotonic()
             fn(spark, SF_DIR).count()
             trials.append(time.monotonic() - t0)
+            # operators that persist a self-join input (dedup LSH frames,
+            # binned-series frames) must re-COMPUTE it each trial — a
+            # cross-trial cache hit would time only the downstream join
+            spark.catalog.clearCache()
         q_times[name] = round(min(trials), 3)
     spark.stop()
 

@@ -16,6 +16,7 @@ from statistics import NormalDist
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from logdag_spark.operators.dedup import all_pairs_jaccard
 from logdag_spark.operators.similarity import brute_force_topk, cosine
@@ -351,7 +352,14 @@ def _hourly_filled_sql() -> str:
 
 def _hourly_filled(spark, sf_dir) -> DataFrame:
     b = discretize(_events_routed(spark, sf_dir), RANGE, timedelta(hours=1), keys=("key",))
-    return fill_bins(b, RANGE, timedelta(hours=1), keys=("key",))
+    # persisted: consumed on both sides of the pairwise self-join, and
+    # Catalyst plans the aliases as independent full scans of the raw
+    # events table (no exchange reuse, verified on the executed plan).
+    # One cached row per (key, bin) — the production pipeline gets the
+    # same effect from the events_ts checkpoint.
+    return fill_bins(b, RANGE, timedelta(hours=1), keys=("key",)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
 
 def q_pairwise_corr_1h(spark, sf_dir):
@@ -429,7 +437,11 @@ def _daily_edges(spark, sf_dir) -> DataFrame:
     ev = _events_routed(spark, sf_dir)
     b = discretize(ev, RANGE, timedelta(hours=1), keys=("key",))
     day = F.date_format("bin", "yyyyMMdd").alias("unit")
-    hourly = b.select(day, "key", "bin", "cnt")
+    # persisted: three consumers (stats + both cross-term sides) would
+    # otherwise each re-scan and re-bin the raw events table
+    hourly = b.select(day, "key", "bin", "cnt").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # zero-filled per (unit, key): 24 bins/day; sparse sufficient stats
     stats = hourly.groupBy("unit", "key").agg(
         F.sum("cnt").alias("sx"), F.sum(F.col("cnt") * F.col("cnt")).alias("sxx")
