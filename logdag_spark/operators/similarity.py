@@ -14,6 +14,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -263,24 +264,34 @@ def kmeans_centroids(
     cent = _normalize_rows(
         np.array([r["_v"] for r in seeds], dtype=np.float64)
     )
-    vecs = df.select(F.col(vec_col).alias("_v"))
-    for _ in range(n_iter):
-        assigned = vecs.withColumn("cluster", assign_cluster(cent)(F.col("_v")))
-        sums = (
-            assigned.select("cluster", F.posexplode("_v").alias("pos", "x"))
-            .groupBy("cluster", "pos")
-            .agg(F.sum(F.col("x").cast("double")).alias("s"), F.count("*").alias("c"))
-            .collect()
-        )
-        new = cent.copy()  # empty clusters keep their previous centroid
-        acc = np.zeros((n_clusters, dim))
-        cnt = np.zeros(n_clusters)
-        for r in sums:
-            acc[r["cluster"], r["pos"]] = r["s"]
-            cnt[r["cluster"]] = r["c"]
-        nonempty = cnt > 0
-        new[nonempty] = acc[nonempty] / cnt[nonempty, None]
-        cent = _normalize_rows(new)
+    # cached across Lloyd iterations: every iteration must re-ASSIGN
+    # against the updated centroids, but without the cache it also
+    # re-scans and re-decodes the corpus parquet n_iter times (the
+    # standard iterative-ML pattern; MEMORY_AND_DISK spills at corpus
+    # scale)
+    vecs = df.select(F.col(vec_col).alias("_v")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        for _ in range(n_iter):
+            assigned = vecs.withColumn("cluster", assign_cluster(cent)(F.col("_v")))
+            sums = (
+                assigned.select("cluster", F.posexplode("_v").alias("pos", "x"))
+                .groupBy("cluster", "pos")
+                .agg(F.sum(F.col("x").cast("double")).alias("s"), F.count("*").alias("c"))
+                .collect()
+            )
+            new = cent.copy()  # empty clusters keep their previous centroid
+            acc = np.zeros((n_clusters, dim))
+            cnt = np.zeros(n_clusters)
+            for r in sums:
+                acc[r["cluster"], r["pos"]] = r["s"]
+                cnt[r["cluster"]] = r["c"]
+            nonempty = cnt > 0
+            new[nonempty] = acc[nonempty] / cnt[nonempty, None]
+            cent = _normalize_rows(new)
+    finally:
+        vecs.unpersist()
     return cent
 
 

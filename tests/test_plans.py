@@ -116,3 +116,46 @@ def test_gsq_edges_plan_shape(spark):
     plan = _plan(gsq_edges(mat, nb, emit_all=True))
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_host_rules_prune_below_cooccurrence_aggregate(spark):
+    """G7 pushdown (VERDICT r2 item 3): with host-level prior-knowledge
+    rules on, the allow filter must sit BELOW the cross-term aggregate in
+    the optimized plan — forbidden cross-host pairs are dropped from the
+    co-occurrence join's output before any Sxy is summed, and the noedge
+    anti-join prunes the pair frame before cross stats attach, so rules
+    cut the quadratic compute, not just the result rows."""
+    from datetime import datetime
+
+    from logdag_spark.pipeline.correlate import pairwise_corr
+
+    rows = [
+        ("u", e, datetime(2024, 1, 1, h), float((e + h) % 3))
+        for e in range(3)
+        for h in range(4)
+    ]
+    matrix = spark.createDataFrame(
+        rows, "unit string, eid long, bin timestamp, cnt double"
+    )
+    nbins = spark.createDataFrame([("u", 4)], "unit string, n int")
+    ev_hosts = spark.createDataFrame(
+        [("u", 0, "h0"), ("u", 1, "h0"), ("u", 2, "h1")],
+        "unit string, eid long, host string",
+    )
+    allowed = spark.createDataFrame([("h0", "h0")], "host1 string, host2 string")
+    noedge = spark.createDataFrame(
+        [("u", 0, 2), ("u", 1, 2)], "unit string, eid1 long, eid2 long"
+    )
+    out = pairwise_corr(
+        matrix, nbins, noedge=noedge, ev_hosts=ev_hosts, allowed_hosts=allowed
+    )
+    # semantics: only the allowed same-host pair survives
+    got = {(r["eid1"], r["eid2"]) for r in out.collect()}
+    assert got == {(0, 1)}
+    # plan shape: the host filter is a descendant of the Sxy aggregate
+    # (printed deeper), and the noedge anti-join is present
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" in plan
+    assert plan.index("_host_ok") > plan.index("AS sxy"), (
+        "host allow filter must be pushed below the cross-term aggregate"
+    )
