@@ -1301,6 +1301,67 @@ def q_pc_depth2_daily(spark, sf_dir):
     ).orderBy("unit", "src_eid", "dst_eid")
 
 
+def q_stream_event_counts(spark, sf_dir):
+    """§2.10 streaming ingest, driver-exercised AND oracle-checked: the
+    events table as a bounded availableNow file stream -> watermarked
+    tumbling-window counts -> memory sink.  For a static single-file
+    input the append-mode emission set is exactly the windows the final
+    watermark has closed — epoch-anchored hourly windows with
+    ``window.end <= max(ts) - 10min`` — which plain SQL models (batch
+    parity across the watermark horizon is additionally pytest-asserted
+    in tests/test_streaming.py)."""
+    import tempfile
+    import uuid
+
+    import os
+
+    name = f"stream_counts_{uuid.uuid4().hex[:8]}"
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file stream source demands a directory; symlink the driver's
+    # single-file table into a fresh one (no copy)
+    src_dir = tempfile.mkdtemp(prefix="stream_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    # duckdb-written parquet surfaces TIMESTAMP_NTZ; watermarks demand
+    # TIMESTAMP (session TZ is UTC, so the cast preserves the instant)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    counts = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("event_type", F.window("ts", "3600 seconds").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select("event_type", F.col("w.start").alias("bin"), "cnt")
+    )
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .select("event_type", _bin_s(), F.col("cnt").cast("bigint").alias("cnt"))
+        .orderBy("event_type", "bin_s")
+    )
+
+
+SQL_STREAM_COUNTS = """
+WITH mx AS (SELECT max(epoch_ms(ts)) AS m FROM events),
+w AS (
+  SELECT event_type, (epoch_ms(ts) // 3600000) * 3600 AS bin_s,
+         count(*)::bigint AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT w.event_type, w.bin_s, w.cnt FROM w, mx
+WHERE (w.bin_s + 3600) * 1000 <= mx.m - 600000
+ORDER BY 1, 2
+"""
+
+
 def q_flagship_dag(spark, sf_dir):
     """The flagship tokens->DAG pipeline on the deterministic synthetic
     corpus (the driver tables carry no token arrays; BASELINE.json's input
@@ -2202,6 +2263,7 @@ QUERIES = {
     "eval_accuracy": (q_eval_accuracy, SQL_EVAL_ACCURACY),
     "lingam_2var_daily": (q_lingam_2var_daily, SQL_LINGAM_2VAR),
     "near_dup_groups": (q_near_dup_groups, SQL_NEAR_DUP_GROUPS),
+    "stream_event_counts": (q_stream_event_counts, SQL_STREAM_COUNTS),
     # Spark-only (rows-only checks)
     "kmeans_daily": (q_kmeans_daily, None),
     "anomaly_iforest": (q_anomaly_iforest, None),
