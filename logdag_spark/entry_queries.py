@@ -951,6 +951,73 @@ FROM reach GROUP BY node ORDER BY doc_id
 """
 
 
+def q_sample_split(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test split of the documents table:
+    multiplicative-hash bucket of doc_id mod a Mersenne prime — stable at
+    any parallelism, reproducible in plain SQL (no seed-per-partition
+    sample())."""
+    from logdag_spark.operators.sampling import hash_split
+
+    d = _load(spark, sf_dir, "documents")
+    return hash_split(d).select("doc_id", "split").orderBy("doc_id")
+
+
+def _split_thresholds() -> tuple[int, int]:
+    from logdag_spark.operators.sampling import P
+
+    acc = 0.0
+    out = []
+    for wgt in (0.90, 0.05):
+        acc += wgt
+        out.append(int(acc * P))
+    return out[0], out[1]
+
+
+_TH_TRAIN, _TH_VAL = _split_thresholds()
+
+SQL_SAMPLE_SPLIT = f"""
+WITH b AS (
+  SELECT doc_id,
+         ((doc_id % 2147483647) * (2654435761 % 2147483647)) % 2147483647 AS bucket
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN bucket < {_TH_TRAIN} THEN 'train'
+            WHEN bucket < {_TH_VAL} THEN 'val'
+            ELSE 'test' END AS split
+FROM b ORDER BY doc_id
+"""
+
+
+def q_stratified_sample_docs(spark, sf_dir):
+    """Data-mixing primitive: per-source sampling rates (curated sources
+    src0-src9 kept at 0.8, the rest downsampled to 0.2) via a broadcast
+    rate dim + the same deterministic bucket — the corpus never
+    shuffles."""
+    from logdag_spark.operators.sampling import stratified_sample
+
+    d = _load(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [(f"src{i}", 0.8 if i < 10 else 0.2) for i in range(20)],
+        "key string, rate double",
+    )
+    return stratified_sample(d, rates).select("doc_id", "source").orderBy("doc_id")
+
+
+_P_SAMP = (1 << 31) - 1
+SQL_STRATIFIED_SAMPLE = f"""
+WITH b AS (
+  SELECT doc_id, source,
+         ((doc_id % 2147483647) * (2654435761 % 2147483647)) % 2147483647 AS bucket,
+         CASE WHEN CAST(substr(source, 4) AS int) < 10
+              THEN {int(0.8 * _P_SAMP)}
+              ELSE {int(0.2 * _P_SAMP)} END AS th
+  FROM documents
+)
+SELECT doc_id, source FROM b WHERE bucket < th ORDER BY doc_id
+"""
+
+
 def q_doc_stats(spark, sf_dir):
     d = _load(spark, sf_dir, "documents")
     return d.groupBy("source", "lang").agg(
@@ -2264,6 +2331,8 @@ QUERIES = {
     "lingam_2var_daily": (q_lingam_2var_daily, SQL_LINGAM_2VAR),
     "near_dup_groups": (q_near_dup_groups, SQL_NEAR_DUP_GROUPS),
     "stream_event_counts": (q_stream_event_counts, SQL_STREAM_COUNTS),
+    "sample_split": (q_sample_split, SQL_SAMPLE_SPLIT),
+    "stratified_sample_docs": (q_stratified_sample_docs, SQL_STRATIFIED_SAMPLE),
     # Spark-only (rows-only checks)
     "kmeans_daily": (q_kmeans_daily, None),
     "anomaly_iforest": (q_anomaly_iforest, None),

@@ -1,0 +1,91 @@
+"""Deterministic sampling / splitting for the training-data surface.
+
+A training pipeline needs reproducible, cluster-size-independent answers
+to "which 5% of the corpus is validation?" and "sample source A at 3x
+the rate of source B" — `df.sample()` is seed-per-partition and changes
+with repartitioning, so these operators derive a stable pseudo-random
+bucket from the row's own id with pure modular arithmetic:
+
+    bucket(id) = ((id mod P) * K + salt) mod P    (P = 2^31 - 1 prime)
+
+JVM-side column math (no UDF, no shuffle — a narrow projection), the
+same expression is writable in any SQL engine (the DuckDB oracles
+replicate it verbatim), and products stay < 2^62 so ANSI-mode long
+arithmetic never overflows even at 10^12-row ids.  Multiplicative
+hashing mod a Mersenne prime disperses sequential ids uniformly enough
+for rate-style sampling (tested: realized rates within 2% absolute at
+rate 0.3 on 500 sequential ids).
+
+The reference has no sampling surface (its corpora are bounded); this
+is part of the LLM-pipeline extension alongside dedup/similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+P = (1 << 31) - 1  # Mersenne prime
+K = 2654435761 % P  # Knuth multiplicative constant, reduced mod P
+
+
+def hash_bucket(id_col: Column, salt: int = 0) -> Column:
+    """Stable bucket in [0, P) from an integer id column."""
+    return F.pmod(
+        F.pmod(id_col.cast("long"), F.lit(P)) * F.lit(K) + F.lit(salt),
+        F.lit(P),
+    )
+
+
+def hash_sample(
+    df: DataFrame, rate: float, id_col: str = "doc_id", salt: int = 0
+) -> DataFrame:
+    """Keep a deterministic ~``rate`` fraction of rows (same rows at any
+    parallelism, any run)."""
+    return df.where(hash_bucket(F.col(id_col), salt) < int(rate * P))
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Label every row with a deterministic split name; weights must sum
+    to <= 1 (any remainder falls into the last split).  Default
+    90/5/5 train/val/test."""
+    if weights is None:
+        weights = {"train": 0.90, "val": 0.05, "test": 0.05}
+    b = hash_bucket(F.col(id_col), salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = b < int(acc * P)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: DataFrame,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: ``rates(key, rate)`` is a tiny
+    dim broadcast onto the corpus; a row survives iff its bucket falls
+    under its stratum's rate.  This is the data-mixing primitive (e.g.
+    upweight curated sources, downsample crawl) — one narrow broadcast
+    join + filter, no shuffle of the corpus."""
+    r = rates.select(
+        F.col("key").alias(key_col), (F.col("rate") * P).cast("long").alias("_th")
+    )
+    return (
+        df.join(F.broadcast(r), key_col, "left")
+        .where(hash_bucket(F.col(id_col), salt) < F.coalesce("_th", F.lit(0)))
+        .drop("_th")
+    )

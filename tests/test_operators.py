@@ -466,3 +466,45 @@ def test_repartition_by_bytes(spark):
     assert small.rdd.getNumPartitions() == 1  # few KB -> one partition
     tiny = repartition_by_bytes(media, target_mb=1)
     assert tiny.count() == 64
+
+
+# ---------------------------------------------------------------- sampling
+
+
+def test_hash_sampling_deterministic_and_rated(spark):
+    from logdag_spark.operators import sampling
+
+    ids = spark.range(2000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"] for r in sampling.hash_sample(ids, 0.3).collect()}
+    s2 = {
+        r["doc_id"]
+        for r in sampling.hash_sample(ids.repartition(7), 0.3).collect()
+    }
+    assert s1 == s2, "sample must not depend on partitioning"
+    assert 0.25 < len(s1) / 2000 < 0.35
+
+    split = sampling.hash_split(ids)
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(
+        F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] / 2000 > 0.85
+    # every row labeled exactly once
+    assert sum(counts.values()) == 2000
+
+
+def test_stratified_sample_rates(spark):
+    from logdag_spark.operators import sampling
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = spark.createDataFrame(
+        [("a", 0.9), ("b", 0.1)], "key string, rate double"
+    )
+    out = sampling.stratified_sample(df, rates)
+    got = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    assert 0.85 < got["a"] / 1000 < 0.95
+    assert 0.05 < got["b"] / 1000 < 0.15
+    # unknown stratum (no rate row) is dropped, not kept
+    df2 = spark.createDataFrame([(1, "zz")], "doc_id long, source string")
+    assert sampling.stratified_sample(df2, rates).count() == 0
