@@ -1018,6 +1018,64 @@ SELECT doc_id, source FROM b WHERE bucket < th ORDER BY doc_id
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (training-example layout): greedy contiguous
+    packing of docs into 512-token bins per source via an exclusive
+    running token total — parallel across sources, no global funnel."""
+    from logdag_spark.operators.text import pack_sequences
+
+    d = _load(spark, sf_dir, "documents")
+    return pack_sequences(d, capacity=512).select(
+        "doc_id", "source", "n_tok", "pack_bin", "bin_offset"
+    ).orderBy("doc_id")
+
+
+SQL_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9_'']+'),
+                         x -> x <> '')) AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tok,
+         coalesce(sum(n_tok) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+  FROM t
+)
+SELECT doc_id, source, n_tok::int AS n_tok,
+       (excl // 512)::bigint AS pack_bin,
+       (excl % 512)::bigint AS bin_offset
+FROM c ORDER BY doc_id
+"""
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary top-100: explode + one hash aggregate (map-side
+    partial counts), deterministic count-then-token ranking."""
+    from logdag_spark.operators.text import vocab_topk
+
+    d = _load(spark, sf_dir, "documents")
+    return vocab_topk(d, k=100).select(
+        "token", F.col("n").cast("bigint").alias("n"), "rank"
+    )
+
+
+SQL_VOCAB_TOPK = """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9_'']+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), counts AS (
+  SELECT token, count(*)::bigint AS n FROM tok GROUP BY 1
+), ranked AS (
+  SELECT token, n, row_number() OVER (ORDER BY n DESC, token ASC)::int AS rank
+  FROM counts
+)
+SELECT token, n, rank FROM ranked WHERE rank <= 100
+"""
+
+
 def q_doc_stats(spark, sf_dir):
     d = _load(spark, sf_dir, "documents")
     return d.groupBy("source", "lang").agg(
@@ -2333,6 +2391,8 @@ QUERIES = {
     "stream_event_counts": (q_stream_event_counts, SQL_STREAM_COUNTS),
     "sample_split": (q_sample_split, SQL_SAMPLE_SPLIT),
     "stratified_sample_docs": (q_stratified_sample_docs, SQL_STRATIFIED_SAMPLE),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     # Spark-only (rows-only checks)
     "kmeans_daily": (q_kmeans_daily, None),
     "anomaly_iforest": (q_anomaly_iforest, None),

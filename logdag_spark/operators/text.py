@@ -15,6 +15,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 TOKEN_RE = r"[A-Za-z0-9_']+"
 _STOPWORDS = (
@@ -120,4 +121,54 @@ def add_text_features(df: DataFrame, col: str = "text") -> DataFrame:
         .withColumn("lang_pred", lang_id(col))
         .withColumn("quality", quality_score(col))
         .withColumn("fp", fingerprint(col))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int,
+    part_col: str = "source",
+    order_col: str = "doc_id",
+    col: str = "text",
+) -> DataFrame:
+    """Sequence-packing assignment: greedy contiguous packing of documents
+    into fixed-capacity token bins, the layout step before writing packed
+    training examples.
+
+    Documents are packed in ``order_col`` order WITHIN each ``part_col``
+    group (bin id = exclusive running token total // capacity, so a doc
+    straddling a boundary opens the next bin — the writer downstream
+    truncates or pads).  Packing per partition key instead of globally is
+    the scale decision: a global order would funnel the corpus through
+    one window partition, while per-source packing keeps the window
+    parallel across sources and loses nothing (packed examples only need
+    locality, not a global sequence).  Output adds (n_tok, pack_bin,
+    bin_offset).
+    """
+    w = Window.partitionBy(part_col).orderBy(order_col)
+    excl = F.coalesce(
+        F.sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return (
+        df.withColumn("n_tok", token_count(col))
+        .withColumn("pack_bin", (excl / capacity).cast("long"))
+        .withColumn("bin_offset", (excl % capacity).cast("long"))
+    )
+
+
+def vocab_topk(df: DataFrame, k: int = 100, col: str = "text") -> DataFrame:
+    """Corpus vocabulary: top-``k`` tokens by document-independent
+    frequency (ties broken by token text for determinism).  One explode +
+    one hash aggregate with map-side partial counts — the shuffle carries
+    one row per distinct token per map partition, not per occurrence."""
+    counts = (
+        df.select(F.explode(tokenize(col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
     )

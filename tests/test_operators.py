@@ -508,3 +508,20 @@ def test_stratified_sample_rates(spark):
     # unknown stratum (no rate row) is dropped, not kept
     df2 = spark.createDataFrame([(1, "zz")], "doc_id long, source string")
     assert sampling.stratified_sample(df2, rates).count() == 0
+
+
+def test_pack_sequences_bins(spark):
+    from logdag_spark.operators.text import pack_sequences
+
+    rows = [
+        (0, "s", "a b c"),          # 3 toks, excl 0  -> bin 0 off 0
+        (1, "s", "d e"),            # 2 toks, excl 3  -> bin 0 off 3
+        (2, "s", "f g h i"),        # 4 toks, excl 5  -> bin 1 off 0
+        (3, "t", "x y"),            # other partition restarts
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: (r["pack_bin"], r["bin_offset"])
+        for r in pack_sequences(df, capacity=5).collect()
+    }
+    assert got == {0: (0, 0), 1: (0, 3), 2: (1, 0), 3: (0, 0)}
