@@ -975,10 +975,17 @@ def _split_thresholds() -> tuple[int, int]:
 
 _TH_TRAIN, _TH_VAL = _split_thresholds()
 
+def _mult_of(name: str) -> int:
+    from logdag_spark.operators import sampling
+
+    salt = {"split": sampling.SALT_SPLIT, "strata": sampling.SALT_STRATA}[name]
+    return sampling.bucket_multiplier(salt)
+
+
 SQL_SAMPLE_SPLIT = f"""
 WITH b AS (
   SELECT doc_id,
-         ((doc_id % 2147483647) * (2654435761 % 2147483647)) % 2147483647 AS bucket
+         ((doc_id % 2147483647) * {_mult_of("split")}) % 2147483647 AS bucket
   FROM documents
 )
 SELECT doc_id,
@@ -1008,7 +1015,7 @@ _P_SAMP = (1 << 31) - 1
 SQL_STRATIFIED_SAMPLE = f"""
 WITH b AS (
   SELECT doc_id, source,
-         ((doc_id % 2147483647) * (2654435761 % 2147483647)) % 2147483647 AS bucket,
+         ((doc_id % 2147483647) * {_mult_of("strata")}) % 2147483647 AS bucket,
          CASE WHEN CAST(substr(source, 4) AS int) < 10
               THEN {int(0.8 * _P_SAMP)}
               ELSE {int(0.2 * _P_SAMP)} END AS th
@@ -1386,7 +1393,7 @@ xy AS (
          2 * coalesce(x.x, 0) + (((s.h * 2654435761) % 97) / 97.0 - 0.5) AS yv
   FROM spine s LEFT JOIN x USING (h)
 )
-SELECT strftime(to_timestamp({T0_S} + d * 86400), '%Y%m%d') AS unit,
+SELECT strftime(make_timestamp(({T0_S} + d * 86400) * 1000000), '%Y%m%d') AS unit,
        0::bigint AS src_eid, 1::bigint AS dst_eid, true AS directed,
        round(regr_slope(yv, xv), 6) AS weight
 FROM xy GROUP BY 1
@@ -1459,19 +1466,40 @@ def q_stream_event_counts(spark, sf_dir):
         .agg(F.count("*").alias("cnt"))
         .select("event_type", F.col("w.start").alias("bin"), "cnt")
     )
+    ck_dir = tempfile.mkdtemp(prefix="ck_")
     q = (
         counts.writeStream.outputMode("append")
         .format("memory").queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
+        .option("checkpointLocation", ck_dir)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    return (
-        spark.table(name)
-        .select("event_type", _bin_s(), F.col("cnt").cast("bigint").alias("cnt"))
-        .orderBy("event_type", "bin_s")
-    )
+    try:
+        if not q.awaitTermination(300):
+            # a partial memory table would surface as a confusing oracle
+            # mismatch; fail loudly instead
+            q.stop()
+            raise TimeoutError("availableNow stream did not finish in 300s")
+        # materialize locally so the memory-sink view and the temp dirs
+        # can be dropped (a long-lived driver session runs this every
+        # round; leaking one pinned result set + /tmp dir per round adds
+        # up)
+        rows = (
+            spark.table(name)
+            .select(
+                "event_type", _bin_s(), F.col("cnt").cast("bigint").alias("cnt")
+            )
+            .collect()
+        )
+    finally:
+        import shutil
+
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(ck_dir, ignore_errors=True)
+        shutil.rmtree(src_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, bin_s bigint, cnt bigint"
+    ).orderBy("event_type", "bin_s")
 
 
 SQL_STREAM_COUNTS = """

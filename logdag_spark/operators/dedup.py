@@ -243,14 +243,17 @@ def all_pairs_jaccard(
     return ngram_jaccard_pairs(df, pairs, col, id_col).where(F.col("jaccard") >= th)
 
 
-def near_dup_groups(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def near_dup_groups(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     """Collapse verified near-duplicate pairs (id1, id2) into dedup
     groups: connected components over the pair graph, each member labeled
     with its group's min doc id — the canonical representative a training
     pipeline keeps.  Reuses the graph components kernel (one label
     propagation over the pair frame per round; near-dup clusters are
-    shallow so it converges in a few rounds).  At oracle scale the pairs
-    come from :func:`all_pairs_jaccard`; at 100 TB from
+    shallow so it converges in a few rounds; a chain of serially-edited
+    near-dups moves the min label one hop per round, hence the generous
+    default budget — and the components kernel RAISES rather than return
+    silently-split groups if even that is exceeded).  At oracle scale the
+    pairs come from :func:`all_pairs_jaccard`; at 100 TB from
     :func:`minhash_lsh_candidates` + verification — the component pass
     only ever sees the (sparse) surviving pair graph, never the corpus.
     Output: (doc_id, group_id, is_canonical)."""

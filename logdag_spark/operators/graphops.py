@@ -265,7 +265,15 @@ def connected_components(edges: DataFrame, evdim: DataFrame, max_iter: int = 20)
     """Per-unit connected components by iterative label propagation
     (small-diameter DAGs converge in a few rounds; at true graph scale
     swap in a GraphFrames-style alternating algorithm).
-    Output: (unit, eid, component) where component = min eid reachable."""
+    Output: (unit, eid, component) where component = min eid reachable.
+
+    Raises if the propagation has not converged after ``max_iter``
+    rounds: min-label propagation moves one hop per round, so a
+    component whose diameter exceeds the budget would otherwise be
+    SILENTLY split into several pieces, each reporting its own
+    "component" id — for the dedup-group consumer that means duplicate
+    canonical documents with no warning.  Raise loudly, tell the caller
+    to raise max_iter (or switch algorithms)."""
     sym = (
         edges.select("unit", F.col("src_eid").alias("a"), F.col("dst_eid").alias("b"))
         .unionByName(
@@ -296,6 +304,12 @@ def connected_components(edges: DataFrame, evdim: DataFrame, max_iter: int = 20)
         labels = new_labels.localCheckpoint(eager=True) if changed else new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing): a component's diameter "
+            f"exceeds the iteration budget — raise max_iter"
+        )
     return labels
 
 

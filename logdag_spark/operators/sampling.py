@@ -29,16 +29,41 @@ P = (1 << 31) - 1  # Mersenne prime
 K = 2654435761 % P  # Knuth multiplicative constant, reduced mod P
 
 
+def bucket_multiplier(salt: int) -> int:
+    """Salt-derived multiplicative constant.  The salt MUST change the
+    multiplier, not add a constant: an additive salt merely rotates the
+    bucket ordering, so one stage's threshold interval maps to a
+    contiguous interval in the next stage's buckets — fully correlated
+    decisions (a rate-0.2 sample fed into a ``+salt`` split still put
+    every survivor in 'train'; regression-tested).  Multiplying by a
+    different constant mod the prime scatters any interval into a
+    full-period arithmetic progression, so composed stages decide
+    independently.  salt=0 keeps the plain Knuth constant."""
+    return (K * (2 * salt + 1)) % P
+
+
 def hash_bucket(id_col: Column, salt: int = 0) -> Column:
     """Stable bucket in [0, P) from an integer id column."""
     return F.pmod(
-        F.pmod(id_col.cast("long"), F.lit(P)) * F.lit(K) + F.lit(salt),
+        F.pmod(id_col.cast("long"), F.lit(P)) * F.lit(bucket_multiplier(salt)),
         F.lit(P),
     )
 
 
+# Distinct default salts per operator: the bucket is a pure function of
+# (id, salt), so two operators sharing a salt make fully CORRELATED
+# decisions — e.g. a rate-0.2 sample piped into a same-salt 90/5/5 split
+# would label every survivor "train" (bucket < 0.2P < 0.9P) and leave
+# val/test empty.  Different default salts decorrelate composed stages;
+# callers needing correlation (e.g. a consistent holdout across tables)
+# pass an explicit shared salt.
+SALT_SAMPLE = 0
+SALT_SPLIT = 0x5EED5
+SALT_STRATA = 0xA17C3
+
+
 def hash_sample(
-    df: DataFrame, rate: float, id_col: str = "doc_id", salt: int = 0
+    df: DataFrame, rate: float, id_col: str = "doc_id", salt: int = SALT_SAMPLE
 ) -> DataFrame:
     """Keep a deterministic ~``rate`` fraction of rows (same rows at any
     parallelism, any run)."""
@@ -49,7 +74,7 @@ def hash_split(
     df: DataFrame,
     weights: dict[str, float] | None = None,
     id_col: str = "doc_id",
-    salt: int = 0,
+    salt: int = SALT_SPLIT,
 ) -> DataFrame:
     """Label every row with a deterministic split name; weights must sum
     to <= 1 (any remainder falls into the last split).  Default
@@ -74,7 +99,7 @@ def stratified_sample(
     rates: DataFrame,
     key_col: str = "source",
     id_col: str = "doc_id",
-    salt: int = 0,
+    salt: int = SALT_STRATA,
 ) -> DataFrame:
     """Per-stratum deterministic sampling: ``rates(key, rate)`` is a tiny
     dim broadcast onto the corpus; a row survives iff its bucket falls

@@ -1,10 +1,15 @@
 """Similarity search over embedding columns (array<float>).
 
-Brute-force cosine top-k as the correctness baseline, and an LSH-bucketed
-(random-hyperplane signs) variant as the scale path — the bucketed join
-touches only colliding candidates instead of the full cross product.
-Vector math is built-in array expressions (``aggregate``/``zip_with``,
-JVM-side); no UDFs.
+Brute-force cosine top-k as the correctness baseline, and two scale
+paths: LSH-bucketed (random-hyperplane signs) and IVF (spherical
+k-means cells) — both join only colliding/probed candidates, never the
+full cross product.  Scalar vector math (dot, norm) is built-in array
+expressions (``aggregate``/``zip_with``, JVM-side); the batch-level
+kernels (hyperplane signatures, centroid assignment/probing) are
+Arrow-batched ``pandas_udf`` matmuls — per-row expression trees at
+``n_planes x dim`` scale cost more to codegen-compile than to run.
+Functions that build those kernels need an active SparkSession (the
+plane/centroid matrices derive from tiny Spark jobs).
 """
 
 from __future__ import annotations
@@ -113,6 +118,11 @@ def _plane_matrix(dim: int, n_planes: int, seed: int) -> "np.ndarray":
         from pyspark.sql import SparkSession
 
         spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "hyperplane_signature needs an active SparkSession to "
+                "derive its plane matrix (one tiny job, cached per process)"
+            )
         rows = (
             spark.range(n_planes * dim)
             .select(
@@ -182,9 +192,12 @@ def lsh_topk(
     O(collisions); recall is tunable via planes/tables.
     """
     def with_sig(d: DataFrame, idn: str) -> DataFrame:
+        # norm computed BEFORE the n_tables explode — after it, the
+        # O(dim) aggregate would re-run once per table row
         return d.select(
             F.col(id_col).alias(idn),
             F.col(vec_col).alias(f"_{idn}_v"),
+            l2norm(F.col(vec_col)).alias(f"_{idn}_n"),
             F.explode(
                 F.array(
                     *[
@@ -198,10 +211,7 @@ def lsh_topk(
                     ]
                 )
             ).alias("s"),
-        ).select(
-            idn, f"_{idn}_v", "s.table", "s.sig",
-            l2norm(F.col(f"_{idn}_v")).alias(f"_{idn}_n"),
-        )
+        ).select(idn, f"_{idn}_v", f"_{idn}_n", "s.table", "s.sig")
 
     qs = with_sig(queries, "query_id")
     cs = with_sig(df, "neighbor_id")
@@ -392,6 +402,8 @@ def embedding_near_dups(
     sigs = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
+        # norm before the explode: once per vector, not once per table
+        l2norm(F.col(vec_col)).alias("_n"),
         F.explode(
             F.array(
                 *[
@@ -403,9 +415,7 @@ def embedding_near_dups(
                 ]
             )
         ).alias("s"),
-    ).select(
-        "_id", "_v", "s.table", "s.sig", l2norm(F.col("_v")).alias("_n")
-    )
+    ).select("_id", "_v", "_n", "s.table", "s.sig")
     a, b = sigs.alias("a"), sigs.alias("b")
     denom = F.col("a._n") * F.col("b._n")
     return (

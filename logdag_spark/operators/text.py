@@ -149,11 +149,16 @@ def pack_sequences(
     excl = F.coalesce(
         F.sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0),
-    )
+    ).cast("long")
+    # integer `div`, not float division: a double quotient loses exactness
+    # past 2^53, and per-partition running totals at 10^12-row corpora can
+    # get there — the SQL oracle's `//` is exact, so this must be too
     return (
         df.withColumn("n_tok", token_count(col))
-        .withColumn("pack_bin", (excl / capacity).cast("long"))
-        .withColumn("bin_offset", (excl % capacity).cast("long"))
+        .withColumn("_excl", excl)
+        .withColumn("pack_bin", F.expr(f"_excl div {int(capacity)}"))
+        .withColumn("bin_offset", F.pmod(F.col("_excl"), F.lit(int(capacity))).cast("long"))
+        .drop("_excl")
     )
 
 
@@ -161,14 +166,17 @@ def vocab_topk(df: DataFrame, k: int = 100, col: str = "text") -> DataFrame:
     """Corpus vocabulary: top-``k`` tokens by document-independent
     frequency (ties broken by token text for determinism).  One explode +
     one hash aggregate with map-side partial counts — the shuffle carries
-    one row per distinct token per map partition, not per occurrence."""
+    one row per distinct token per map partition, not per occurrence.
+    The top-k itself is ``orderBy().limit(k)`` (per-partition partial
+    top-k, TakeOrderedAndProject) and only the k survivors see a window
+    — an unpartitioned ``row_number()`` window over the counts frame
+    would funnel the whole distinct vocabulary (billions of tokens at
+    corpus scale) through a single task."""
     counts = (
         df.select(F.explode(tokenize(col)).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
     w = Window.orderBy(F.desc("n"), F.asc("token"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return top.withColumn("rank", F.row_number().over(w))

@@ -525,3 +525,18 @@ def test_pack_sequences_bins(spark):
         for r in pack_sequences(df, capacity=5).collect()
     }
     assert got == {0: (0, 0), 1: (0, 3), 2: (1, 0), 3: (0, 0)}
+
+
+def test_sampling_stages_decorrelated(spark):
+    """A rate-r sample piped into the default split must still produce
+    val/test rows — same-salt stages would label every survivor 'train'
+    (the bucket order would be identical in both decisions)."""
+    from logdag_spark.operators import sampling
+
+    ids = spark.range(4000).withColumnRenamed("id", "doc_id")
+    sampled = sampling.hash_sample(ids, 0.2)
+    splits = {
+        r["split"]
+        for r in sampling.hash_split(sampled).select("split").distinct().collect()
+    }
+    assert splits == {"train", "val", "test"}
