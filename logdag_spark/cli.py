@@ -10,6 +10,9 @@
     python -m logdag_spark lineage      --warehouse WH
     python -m logdag_spark dedup-docs   --input DOCS_PARQUET [--method exact|minhash]
     python -m logdag_spark ann-topk     --input EMB_PARQUET [--method ivf|lsh|brute] [--k 10]
+    python -m logdag_spark sample-docs  --input DOCS_PARQUET [--method split|sample] [--rate 0.1]
+    python -m logdag_spark pack-docs    --input DOCS_PARQUET [--capacity 512]
+    python -m logdag_spark vocab        --input DOCS_PARQUET [--k 100]
 
 Designed for ``spark-submit --py-files logdag_spark.zip`` on a cluster;
 locally it builds its own session.
@@ -36,7 +39,9 @@ def _common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--out", default=None, help="output dir (dump-input CSV)")
     p.add_argument("--input", default=None, help="input parquet (dedup-docs / ann-topk)")
     p.add_argument("--method", default=None, help="dedup-docs: exact|minhash; ann-topk: ivf|lsh|brute")
-    p.add_argument("--k", type=int, default=10, help="ann-topk neighbors per query")
+    p.add_argument("--k", type=int, default=10, help="ann-topk neighbors / vocab size")
+    p.add_argument("--rate", type=float, default=0.1, help="sample-docs keep rate")
+    p.add_argument("--capacity", type=int, default=512, help="pack-docs tokens per bin")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -45,6 +50,7 @@ def main(argv: list[str] | None = None) -> int:
     for cmd in (
         "make-evdb", "make-dag", "show-stats", "show-edges", "show-subgraphs",
         "dump-input", "lineage", "dedup-docs", "ann-topk",
+        "sample-docs", "pack-docs", "vocab",
     ):
         _common(sub.add_parser(cmd))
     args = ap.parse_args(argv)
@@ -133,6 +139,32 @@ def main(argv: list[str] | None = None) -> int:
         if args.out:
             out.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")
+    elif args.cmd == "sample-docs":
+        from logdag_spark.operators import sampling
+
+        docs = spark.read.parquet(args.input)
+        if (args.method or "split") == "split":
+            out = sampling.hash_split(docs)
+        else:
+            out = sampling.hash_sample(docs, args.rate)
+        out.groupBy(*(["split"] if "split" in out.columns else [])).count().show()
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+    elif args.cmd == "pack-docs":
+        from logdag_spark.operators.text import pack_sequences
+
+        docs = spark.read.parquet(args.input)
+        out = pack_sequences(docs, capacity=args.capacity)
+        out.select("doc_id", "source", "n_tok", "pack_bin", "bin_offset").show(50)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+    elif args.cmd == "vocab":
+        from logdag_spark.operators.text import vocab_topk
+
+        docs = spark.read.parquet(args.input)
+        vocab_topk(docs, k=args.k).show(args.k, truncate=False)
     spark.stop()
     return 0
 
