@@ -243,20 +243,109 @@ def all_pairs_jaccard(
     return ngram_jaccard_pairs(df, pairs, col, id_col).where(F.col("jaccard") >= th)
 
 
-def near_dup_groups(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+def star_components(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
+    """Connected components over an (id1, id2) pair graph by alternating
+    large-star / small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — the TRUE-graph-scale path the
+    label-propagation kernel's docstring points at: each round halves
+    long chains (O(log n) rounds vs O(diameter)), every round is two
+    self-describing groupBy passes over the edge list, and no per-unit
+    assumption is made.
+
+    large-star: every node u links its strictly-larger neighbors to
+    min(N(u) ∪ {u}).  small-star: u links its not-larger neighbors and
+    itself to that minimum.  Fixpoint = a star forest; each node's final
+    neighbor is its component minimum.  Output matches
+    :func:`near_dup_groups`'s contract: (doc_id, group_id, is_canonical),
+    restricted to nodes that appear in at least one pair.
+    """
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col("id1").cast("long").alias("u"),
+                     F.col("id2").cast("long").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def sym(e: DataFrame) -> DataFrame:
+        return e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def large_star(e: DataFrame) -> DataFrame:
+        nbrs = sym(e)
+        m = (
+            nbrs.groupBy("u").agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+        )
+        return (
+            nbrs.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient edges to (big, small) first
+        o = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        m = (
+            o.groupBy("u").agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+        )
+        linked = (
+            o.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        return linked
+
+    cur = edges.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nxt = small_star(large_star(cur)).localCheckpoint(eager=True)
+        # converged when the edge multiset is stable (star forest fixpoint)
+        if (
+            nxt.exceptAll(cur).limit(1).count() == 0
+            and cur.exceptAll(nxt).limit(1).count() == 0
+        ):
+            cur = nxt
+            break
+        cur = nxt
+    else:
+        raise RuntimeError(
+            f"star_components did not converge in {max_iter} rounds"
+        )
+    # star forest: every edge is (member, root); roots link to themselves
+    members = cur.select(F.col("u").alias("doc_id"), F.col("v").alias("group_id"))
+    roots = cur.select(F.col("v").alias("doc_id"), F.col("v").alias("group_id")).distinct()
+    out = members.unionByName(roots).distinct()
+    return out.select(
+        "doc_id", "group_id", (F.col("doc_id") == F.col("group_id")).alias("is_canonical")
+    )
+
+
+def near_dup_groups(
+    pairs: DataFrame, max_iter: int = 50, algorithm: str = "star"
+) -> DataFrame:
     """Collapse verified near-duplicate pairs (id1, id2) into dedup
     groups: connected components over the pair graph, each member labeled
     with its group's min doc id — the canonical representative a training
-    pipeline keeps.  Reuses the graph components kernel (one label
-    propagation over the pair frame per round; near-dup clusters are
-    shallow so it converges in a few rounds; a chain of serially-edited
-    near-dups moves the min label one hop per round, hence the generous
-    default budget — and the components kernel RAISES rather than return
-    silently-split groups if even that is exceeded).  At oracle scale the
-    pairs come from :func:`all_pairs_jaccard`; at 100 TB from
+    pipeline keeps.  At oracle scale the pairs come from
+    :func:`all_pairs_jaccard`; at 100 TB from
     :func:`minhash_lsh_candidates` + verification — the component pass
     only ever sees the (sparse) surviving pair graph, never the corpus.
+
+    ``algorithm='star'`` (default) is the O(log n)-round alternating
+    large-star/small-star contraction — a 10^9-pair graph with long
+    edit-chains converges in ~30 rounds regardless of diameter.
+    ``'propagation'`` reuses the per-unit min-label kernel (one hop per
+    round, O(diameter); raises on non-convergence) — fine for shallow
+    clusters, parity-tested against star.
     Output: (doc_id, group_id, is_canonical)."""
+    if algorithm == "star":
+        return star_components(pairs)
     from logdag_spark.operators.graphops import connected_components
 
     edges = pairs.select(

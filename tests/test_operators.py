@@ -540,3 +540,30 @@ def test_sampling_stages_decorrelated(spark):
         for r in sampling.hash_split(sampled).select("split").distinct().collect()
     }
     assert splits == {"train", "val", "test"}
+
+
+def test_star_components_parity_and_long_chain(spark):
+    """Alternating large-star/small-star matches label propagation on a
+    random pair graph, and handles a 60-node chain (diameter far beyond
+    the propagation budget) in O(log n) rounds."""
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(200))
+    pairs = {(min(a, b), max(a, b))
+             for a, b in (rng.sample(nodes, 2) for _ in range(150))}
+    pdf = spark.createDataFrame(sorted(pairs), "id1 long, id2 long")
+    lp = {
+        (r["doc_id"], r["group_id"])
+        for r in dedup.near_dup_groups(pdf, algorithm="propagation").collect()
+    }
+    st = {(r["doc_id"], r["group_id"]) for r in dedup.star_components(pdf).collect()}
+    assert st == lp
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id1 long, id2 long"
+    )
+    got = dedup.star_components(chain).collect()
+    assert all(r["group_id"] == 0 for r in got)
+    assert len(got) == 61
+    assert sum(1 for r in got if r["is_canonical"]) == 1
