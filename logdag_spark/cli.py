@@ -38,8 +38,15 @@ def _common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--no-filters", action="store_true")
     p.add_argument("--out", default=None, help="output dir (dump-input CSV)")
     p.add_argument("--input", default=None, help="input parquet (dedup-docs / ann-topk)")
-    p.add_argument("--method", default=None, help="dedup-docs: exact|minhash; ann-topk: ivf|lsh|brute")
-    p.add_argument("--k", type=int, default=10, help="ann-topk neighbors / vocab size")
+    p.add_argument(
+        "--method", default=None,
+        help="dedup-docs: exact|minhash; ann-topk: ivf|lsh|brute; "
+             "sample-docs: split|sample",
+    )
+    p.add_argument(
+        "--k", type=int, default=None,
+        help="ann-topk neighbors per query (default 10) / vocab size (default 100)",
+    )
     p.add_argument("--rate", type=float, default=0.1, help="sample-docs keep rate")
     p.add_argument("--capacity", type=int, default=512, help="pack-docs tokens per bin")
 
@@ -111,8 +118,11 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "dedup-docs":
         from logdag_spark.operators import dedup
 
+        method = args.method or "exact"
+        if method not in ("exact", "minhash"):
+            ap.error(f"dedup-docs --method must be exact|minhash, got {method!r}")
         docs = spark.read.parquet(args.input)
-        if (args.method or "exact") == "exact":
+        if method == "exact":
             out = dedup.exact_dup_groups(docs)
         else:
             out = dedup.minhash_lsh_candidates(docs)
@@ -129,12 +139,15 @@ def main(argv: list[str] | None = None) -> int:
         dim = len(emb.select("embedding").first()["embedding"])
         q = emb.where(F.col("vec_id") < 20)
         method = args.method or "ivf"
+        k = args.k if args.k is not None else 10
         if method == "ivf":
-            out = similarity.ivf_topk(emb, q, dim=dim, k=args.k)
+            out = similarity.ivf_topk(emb, q, dim=dim, k=k)
         elif method == "lsh":
-            out = similarity.lsh_topk(emb, q, dim=dim, k=args.k)
+            out = similarity.lsh_topk(emb, q, dim=dim, k=k)
+        elif method == "brute":
+            out = similarity.brute_force_topk(emb, q, k=k)
         else:
-            out = similarity.brute_force_topk(emb, q, k=args.k)
+            ap.error(f"ann-topk --method must be ivf|lsh|brute, got {method!r}")
         out.orderBy("query_id", "rank").show(100, truncate=False)
         if args.out:
             out.write.mode("overwrite").parquet(args.out)
@@ -142,8 +155,11 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "sample-docs":
         from logdag_spark.operators import sampling
 
+        method = args.method or "split"
+        if method not in ("split", "sample"):
+            ap.error(f"sample-docs --method must be split|sample, got {method!r}")
         docs = spark.read.parquet(args.input)
-        if (args.method or "split") == "split":
+        if method == "split":
             out = sampling.hash_split(docs)
         else:
             out = sampling.hash_sample(docs, args.rate)
@@ -163,8 +179,13 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "vocab":
         from logdag_spark.operators.text import vocab_topk
 
+        k = args.k if args.k is not None else 100
         docs = spark.read.parquet(args.input)
-        vocab_topk(docs, k=args.k).show(args.k, truncate=False)
+        out = vocab_topk(docs, k=k)
+        out.show(k, truncate=False)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
     spark.stop()
     return 0
 

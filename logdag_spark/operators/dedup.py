@@ -255,15 +255,22 @@ def star_components(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
     large-star: every node u links its strictly-larger neighbors to
     min(N(u) ∪ {u}).  small-star: u links its not-larger neighbors and
     itself to that minimum.  Fixpoint = a star forest; each node's final
-    neighbor is its component minimum.  Output matches
+    neighbor is its component minimum.  Ids keep their own type — the
+    algorithm only needs the column's total order (string doc ids like
+    the generator's ``%013d-%s-%08d`` work; a long cast would crash
+    ANSI-mode or NULL-out silently).  Output matches
     :func:`near_dup_groups`'s contract: (doc_id, group_id, is_canonical),
-    restricted to nodes that appear in at least one pair.
+    over every node that appears in at least one pair (a self-pair
+    contributes its node as a singleton group).
     """
-    spark = pairs.sparkSession
     edges = (
-        pairs.select(F.col("id1").cast("long").alias("u"),
-                     F.col("id2").cast("long").alias("v"))
+        pairs.select(F.col("id1").alias("u"), F.col("id2").alias("v"))
         .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    self_nodes = (
+        pairs.where(F.col("id1") == F.col("id2"))
+        .select(F.col("id1").alias("doc_id"))
         .distinct()
     )
 
@@ -302,17 +309,22 @@ def star_components(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
         )
         return linked
 
+    # per-round eager localCheckpoint truncates lineage; the PREVIOUS
+    # round's blocks are released by the ContextCleaner once the loop
+    # reassigns `cur` (the Python reference drop propagates through py4j
+    # and the checkpointed RDD becomes unreachable), so live storage is
+    # ~2 edge-list snapshots, not max_iter of them
     cur = edges.localCheckpoint(eager=True)
+    cur_cnt = cur.count()
     for _ in range(max_iter):
         nxt = small_star(large_star(cur)).localCheckpoint(eager=True)
-        # converged when the edge multiset is stable (star forest fixpoint)
-        if (
-            nxt.exceptAll(cur).limit(1).count() == 0
-            and cur.exceptAll(nxt).limit(1).count() == 0
-        ):
+        nxt_cnt = nxt.count()
+        # both frames are distinct sets, so equal cardinality plus one
+        # empty difference proves set equality — no second exceptAll job
+        if nxt_cnt == cur_cnt and nxt.exceptAll(cur).limit(1).count() == 0:
             cur = nxt
             break
-        cur = nxt
+        cur, cur_cnt = nxt, nxt_cnt
     else:
         raise RuntimeError(
             f"star_components did not converge in {max_iter} rounds"
@@ -320,7 +332,11 @@ def star_components(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
     # star forest: every edge is (member, root); roots link to themselves
     members = cur.select(F.col("u").alias("doc_id"), F.col("v").alias("group_id"))
     roots = cur.select(F.col("v").alias("doc_id"), F.col("v").alias("group_id")).distinct()
-    out = members.unionByName(roots).distinct()
+    out = members.unionByName(roots)
+    singles = self_nodes.join(out.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("group_id")
+    )
+    out = out.unionByName(singles).distinct()
     return out.select(
         "doc_id", "group_id", (F.col("doc_id") == F.col("group_id")).alias("is_canonical")
     )
@@ -345,7 +361,11 @@ def near_dup_groups(
     clusters, parity-tested against star.
     Output: (doc_id, group_id, is_canonical)."""
     if algorithm == "star":
-        return star_components(pairs)
+        return star_components(pairs, max_iter=max_iter)
+    if algorithm != "propagation":
+        raise ValueError(
+            f"unknown algorithm {algorithm!r}: expected 'star' or 'propagation'"
+        )
     from logdag_spark.operators.graphops import connected_components
 
     edges = pairs.select(

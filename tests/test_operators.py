@@ -567,3 +567,27 @@ def test_star_components_parity_and_long_chain(spark):
     assert all(r["group_id"] == 0 for r in got)
     assert len(got) == 61
     assert sum(1 for r in got if r["is_canonical"]) == 1
+
+
+def test_star_components_string_ids_and_self_pairs(spark):
+    """Ids keep their own type (the generator's doc ids are strings —
+    a long cast crashed ANSI mode), and a self-pair surfaces its node
+    as a singleton group, matching the propagation path."""
+    pairs = spark.createDataFrame(
+        [("0001-h-01", "0001-h-02"), ("0001-h-02", "0001-h-03"),
+         ("0009-z-09", "0009-z-09")],
+        "id1 string, id2 string",
+    )
+    for algo in ("star", "propagation"):
+        got = {
+            (r["doc_id"], r["group_id"], r["is_canonical"])
+            for r in dedup.near_dup_groups(pairs, algorithm=algo).collect()
+        }
+        assert got == {
+            ("0001-h-01", "0001-h-01", True),
+            ("0001-h-02", "0001-h-01", False),
+            ("0001-h-03", "0001-h-01", False),
+            ("0009-z-09", "0009-z-09", True),
+        }, algo
+    with pytest.raises(ValueError):
+        dedup.near_dup_groups(pairs, algorithm="stars")
