@@ -2012,6 +2012,65 @@ LEFT JOIN matched m USING (tid) CROSS JOIN total
 """
 
 
+def q_stats_by_threshold(spark, sf_dir):
+    """show-stats-by-threshold: surviving daily-edge totals per ate_prune
+    threshold 0.0..0.9 (one broadcast of the tiny threshold dim, one
+    aggregate)."""
+    from logdag_spark.operators.graphops import stats_by_threshold
+
+    edges = _daily_edges(spark, sf_dir).withColumnRenamed("r", "weight")
+    out = stats_by_threshold(edges)
+    return out.select(
+        F.round("threshold", 1).alias("threshold"),
+        F.col("n_edges").cast("bigint").alias("n_edges"),
+    )
+
+
+SQL_STATS_BY_TH = _SQL_DAILY_EDGES + """
+, ths AS (SELECT unnest(range(0, 10)) / 10.0 AS threshold),
+counts AS (
+  SELECT t.threshold, count(*)::bigint AS n_edges
+  FROM kept e JOIN ths t ON abs(e.r) >= t.threshold
+  GROUP BY 1
+)
+SELECT round(t.threshold, 1) AS threshold,
+       coalesce(c.n_edges, 0)::bigint AS n_edges
+FROM ths t LEFT JOIN counts c ON t.threshold = c.threshold
+ORDER BY 1
+"""
+
+
+def q_relabel_events(spark, sf_dir):
+    """update-event-label: refresh the event dim's group tag from the
+    current gid->group mapping (broadcast join, unmapped keys keep their
+    old group)."""
+    from logdag_spark.operators.graphops import update_event_labels
+
+    _, evdim = _daily_graph(spark, sf_dir)
+    gid_groups = (
+        _load(spark, sf_dir, "events")
+        .select(F.col("event_type").alias("gid")).distinct()
+        .where(F.col("gid") < F.lit("s"))
+        .withColumn("group", F.upper("gid"))
+    )
+    out = update_event_labels(evdim, gid_groups)
+    return out.select("unit", "key", "group").orderBy("unit", "key")
+
+
+SQL_RELABEL = _SQL_DAILY_EDGES + """
+, days AS (SELECT DISTINCT unit FROM kept),
+types AS (SELECT DISTINCT event_type AS key FROM events),
+nodes AS (SELECT d.unit, t.key FROM days d CROSS JOIN types t),
+gid_groups AS (
+  SELECT DISTINCT event_type AS gid, upper(event_type) AS grp
+  FROM events WHERE event_type < 's'
+)
+SELECT n.unit, n.key, g.grp AS "group"
+FROM nodes n LEFT JOIN gid_groups g ON n.key = g.gid
+ORDER BY n.unit, n.key
+"""
+
+
 def q_common_components_daily(spark, sf_dir):
     """G10 cluster common components (edge_search.py:135-148): geometric
     mean of normalized node-presence vectors over the 3 busiest daily
@@ -2421,6 +2480,8 @@ QUERIES = {
     "stratified_sample_docs": (q_stratified_sample_docs, SQL_STRATIFIED_SAMPLE),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
+    "stats_by_threshold": (q_stats_by_threshold, SQL_STATS_BY_TH),
+    "relabel_events": (q_relabel_events, SQL_RELABEL),
     # Spark-only (rows-only checks)
     "kmeans_daily": (q_kmeans_daily, None),
     "anomaly_iforest": (q_anomaly_iforest, None),

@@ -313,6 +313,49 @@ def connected_components(edges: DataFrame, evdim: DataFrame, max_iter: int = 20)
     return labels
 
 
+def stats_by_threshold(edges: DataFrame, n_steps: int = 10) -> DataFrame:
+    """show-stats-by-threshold (/root/reference/logdag/__main__.py:289-297,
+    showdag.py:586-601): total surviving edge count across all units for
+    each ate_prune threshold 0.0, 0.1, ... — the reference applies the
+    filter once per threshold per DAG; here one broadcast of the tiny
+    threshold dim against the edge list and a single aggregate.
+    Thresholds are compared EXACTLY (``|w| >= k/10``), not via float
+    bucket arithmetic (``floor(0.7*10)`` is 6 in IEEE doubles).
+    Output: (threshold, n_edges), ascending."""
+    spark = edges.sparkSession
+    ths = spark.createDataFrame(
+        [(k / n_steps,) for k in range(n_steps)], "threshold double"
+    )
+    counts = (
+        edges.crossJoin(F.broadcast(ths))
+        .where(F.abs(F.col("weight")) >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(F.count("*").alias("n_edges"))
+    )
+    # the reference's table prints EVERY threshold, zeros included
+    return (
+        ths.join(counts, "threshold", "left")
+        .select("threshold", F.coalesce("n_edges", F.lit(0)).alias("n_edges"))
+        .orderBy("threshold")
+    )
+
+
+def update_event_labels(
+    evdim: DataFrame, gid_groups: DataFrame, gid_col: str = "key"
+) -> DataFrame:
+    """update-event-label (/root/reference/logdag/__main__.py:87-110):
+    refresh each event definition's ``group`` tag from the source's
+    current gid->group mapping (the reference reloads the amulog loader
+    and rewrites the evmap).  One broadcast join; unmapped gids keep
+    their existing group (or null if none existed)."""
+    new = F.broadcast(
+        gid_groups.select(F.col("gid").alias(gid_col), F.col("group").alias("_new_group"))
+    )
+    joined = evdim.join(new, gid_col, "left")
+    old = F.col("group") if "group" in evdim.columns else F.lit(None).cast("string")
+    return joined.withColumn("group", F.coalesce("_new_group", old)).drop("_new_group")
+
+
 def netsize_distribution(components: DataFrame) -> DataFrame:
     """A12: histogram of component sizes (showdag.py:738-760)."""
     sizes = components.groupBy("unit", "component").agg(F.count("*").alias("size"))

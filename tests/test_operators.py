@@ -591,3 +591,33 @@ def test_star_components_string_ids_and_self_pairs(spark):
         }, algo
     with pytest.raises(ValueError):
         dedup.near_dup_groups(pairs, algorithm="stars")
+
+
+def test_update_event_labels_coalesce(spark):
+    """Mapped gids get the new group; unmapped keep the old (or null when
+    the dim never had one)."""
+    evdim = spark.createDataFrame(
+        [("u", 0, "a", "old_a"), ("u", 1, "b", "old_b")],
+        "unit string, eid long, key string, group string",
+    )
+    newmap = spark.createDataFrame([("a", "NEW_A")], "gid string, group string")
+    got = {
+        r["key"]: r["group"]
+        for r in graphops.update_event_labels(evdim, newmap).collect()
+    }
+    assert got == {"a": "NEW_A", "b": "old_b"}
+    bare = evdim.drop("group")
+    got2 = {
+        r["key"]: r["group"]
+        for r in graphops.update_event_labels(bare, newmap).collect()
+    }
+    assert got2 == {"a": "NEW_A", "b": None}
+
+
+def test_stats_by_threshold_counts(spark):
+    edges = spark.createDataFrame(
+        [("u", 0, 1, True, 0.95), ("u", 1, 2, True, -0.55), ("u", 2, 3, True, 0.05)],
+        "unit string, src_eid long, dst_eid long, directed boolean, weight double",
+    )
+    got = {r["threshold"]: r["n_edges"] for r in graphops.stats_by_threshold(edges).collect()}
+    assert got[0.0] == 3 and got[0.1] == 2 and got[0.5] == 2 and got[0.6] == 1 and got[0.9] == 1
