@@ -51,7 +51,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _) in QUERIES.items()}
+    # Several operators persist() an internal frame they cannot unpersist
+    # (the result DataFrame is lazy; the caller runs the terminal action).
+    # In a long-lived correctness harness those MEMORY_AND_DISK blocks
+    # would otherwise pin until process exit — release the PREVIOUS
+    # query's caches when the next one is built.  Correctness-neutral:
+    # persists are performance-only (eager state uses localCheckpoint,
+    # which clearCache does not touch).
+    def _scoped(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            spark.catalog.clearCache()
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: _scoped(fn) for name, (fn, _) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

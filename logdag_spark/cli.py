@@ -172,7 +172,9 @@ def main(argv: list[str] | None = None) -> int:
 
         docs = spark.read.parquet(args.input)
         out = pack_sequences(docs, capacity=args.capacity)
-        out.select("doc_id", "source", "n_tok", "pack_bin", "bin_offset").show(50)
+        out.select(
+            "doc_id", "source", "n_tok", "pack_shard", "pack_bin", "bin_offset"
+        ).show(50)
         if args.out:
             out.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")

@@ -978,7 +978,11 @@ _TH_TRAIN, _TH_VAL = _split_thresholds()
 def _mult_of(name: str) -> int:
     from logdag_spark.operators import sampling
 
-    salt = {"split": sampling.SALT_SPLIT, "strata": sampling.SALT_STRATA}[name]
+    salt = {
+        "split": sampling.SALT_SPLIT,
+        "strata": sampling.SALT_STRATA,
+        "pack": sampling.SALT_PACK,
+    }[name]
     return sampling.bucket_multiplier(salt)
 
 
@@ -1026,31 +1030,34 @@ SELECT doc_id, source FROM b WHERE bucket < th ORDER BY doc_id
 
 
 def q_pack_sequences(spark, sf_dir):
-    """Sequence packing (training-example layout): greedy contiguous
-    packing of docs into 512-token bins per source via an exclusive
-    running token total — parallel across sources, no global funnel."""
+    """Sequence packing (training-example layout): greedy packing of docs
+    into 512-token bins per (source, shard) via an exclusive running token
+    total — the deterministic hash shard keeps window parallelism scaling
+    with num_shards, not with the handful of sources."""
     from logdag_spark.operators.text import pack_sequences
 
     d = _load(spark, sf_dir, "documents")
-    return pack_sequences(d, capacity=512).select(
-        "doc_id", "source", "n_tok", "pack_bin", "bin_offset"
+    return pack_sequences(d, capacity=512, num_shards=8).select(
+        "doc_id", "source", "n_tok", "pack_shard", "pack_bin", "bin_offset"
     ).orderBy("doc_id")
 
 
-SQL_PACK_SEQUENCES = """
+SQL_PACK_SEQUENCES = f"""
 WITH t AS (
   SELECT doc_id, source,
          len(list_filter(string_split_regex(lower(text), '[^a-z0-9_'']+'),
-                         x -> x <> '')) AS n_tok
+                         x -> x <> '')) AS n_tok,
+         (((doc_id % 2147483647) * {_mult_of("pack")}) % 2147483647) % 8
+             AS pack_shard
   FROM documents
 ), c AS (
-  SELECT doc_id, source, n_tok,
+  SELECT doc_id, source, n_tok, pack_shard,
          coalesce(sum(n_tok) OVER (
-           PARTITION BY source ORDER BY doc_id
+           PARTITION BY source, pack_shard ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
   FROM t
 )
-SELECT doc_id, source, n_tok::int AS n_tok,
+SELECT doc_id, source, n_tok::int AS n_tok, pack_shard::int AS pack_shard,
        (excl // 512)::bigint AS pack_bin,
        (excl % 512)::bigint AS bin_offset
 FROM c ORDER BY doc_id

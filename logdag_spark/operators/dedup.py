@@ -196,14 +196,38 @@ def minhash_dedup(
     df: DataFrame, col: str = "text", id_col: str = "doc_id",
     k: int = 3, num_hashes: int = 32, bands: int = 8, jaccard_th: float = 0.8,
 ) -> DataFrame:
-    """LSH candidates verified by exact shingle Jaccard, then greedy
-    keep-smallest-id: a doc is dropped if it near-dups a smaller id."""
-    cand = minhash_lsh_candidates(df, col, id_col, k, num_hashes, bands)
-    verified = ngram_jaccard_pairs(df, cand, col, id_col).where(
+    """Near-dedup: collapse exact duplicates, LSH the distinct content,
+    verify candidates by exact shingle Jaccard, keep smallest ids.
+
+    The exact-collapse FIRST is the 100 TB survival property: real
+    corpora contain millions of byte-identical boilerplate documents,
+    and B identical docs sharing every LSH bucket emit B² candidate
+    pairs — AQE skew-split fixes the shuffle skew but not the quadratic
+    emission.  One sha-style hash aggregate (`xxhash64` content groups,
+    min-id representative) reduces each such cluster to ONE row before
+    any signature is computed, so the banded self-join sees only
+    distinct content and the planted-heavy-cluster test observes O(B)
+    candidates, not O(B²).  Non-representative members drop by
+    definition (Jaccard 1.0 against a smaller id); a representative
+    that near-dups a smaller representative drops with its whole
+    content group.  Net semantics are unchanged — a doc survives iff it
+    is the minimum id of its content group and that group's content
+    does not near-dup any smaller-id content.
+    """
+    keyed = df.select(F.col(id_col).alias("_id"), F.xxhash64(F.col(col)).alias("_ch"))
+    groups = keyed.groupBy("_ch").agg(F.min("_id").alias("_rep"))
+    reps = df.join(
+        groups.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
+    )
+    cand = minhash_lsh_candidates(reps, col, id_col, k, num_hashes, bands)
+    verified = ngram_jaccard_pairs(reps, cand, col, id_col).where(
         F.col("jaccard") >= jaccard_th
     )
-    losers = verified.select(F.col("id2").alias(id_col)).distinct()
-    return df.join(losers, id_col, "left_anti")
+    losing_reps = verified.select(F.col("id2").alias("_rep")).distinct()
+    keep_reps = groups.join(losing_reps, "_rep", "left_anti").select(
+        F.col("_rep").alias(id_col)
+    )
+    return df.join(keep_reps, id_col, "left_semi")
 
 
 # ------------------------------------------------------------ n-gram jacc

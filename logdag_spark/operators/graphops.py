@@ -274,6 +274,8 @@ def connected_components(edges: DataFrame, evdim: DataFrame, max_iter: int = 20)
     "component" id — for the dedup-group consumer that means duplicate
     canonical documents with no warning.  Raise loudly, tell the caller
     to raise max_iter (or switch algorithms)."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     sym = (
         edges.select("unit", F.col("src_eid").alias("a"), F.col("dst_eid").alias("b"))
         .unionByName(

@@ -6,7 +6,8 @@ the rate of source B" — `df.sample()` is seed-per-partition and changes
 with repartitioning, so these operators derive a stable pseudo-random
 bucket from the row's own id with pure modular arithmetic:
 
-    bucket(id) = ((id mod P) * K + salt) mod P    (P = 2^31 - 1 prime)
+    bucket(id) = ((id mod P) * K_salt) mod P      (P = 2^31 - 1 prime,
+                 K_salt = K * (2*salt + 1) mod P)
 
 JVM-side column math (no UDF, no shuffle — a narrow projection), the
 same expression is writable in any SQL engine (the DuckDB oracles
@@ -42,12 +43,45 @@ def bucket_multiplier(salt: int) -> int:
     return (K * (2 * salt + 1)) % P
 
 
-def hash_bucket(id_col: Column, salt: int = 0) -> Column:
-    """Stable bucket in [0, P) from an integer id column."""
+def hash_bucket(id_col: Column, salt: int = 0, *, integral: bool = True) -> Column:
+    """Stable bucket in [0, P) from an id column.
+
+    ``integral=True`` (default) is the modular-arithmetic path — exactly
+    replicable in any SQL engine, which is what the DuckDB oracles do.
+    ``integral=False`` hashes arbitrary ids (strings, structs) through
+    ``xxhash64`` first; equally deterministic and parallelism-independent,
+    but NOT SQL-portable (xxhash64 is Spark-specific).  Callers with a
+    DataFrame in hand should use :func:`bucket_for`, which picks the path
+    from the column's actual type — a silent ``cast('long')`` on string
+    ids would crash ANSI mode or NULL out every bucket (dropping 100% of
+    a sample, or funneling every row into the last split label).
+    """
+    base = id_col.cast("long") if integral else F.xxhash64(id_col)
     return F.pmod(
-        F.pmod(id_col.cast("long"), F.lit(P)) * F.lit(bucket_multiplier(salt)),
+        F.pmod(base, F.lit(P)) * F.lit(bucket_multiplier(salt)),
         F.lit(P),
     )
+
+
+_INTEGRAL_TYPES = ("byte", "tinyint", "short", "smallint", "int", "integer", "bigint", "long")
+
+
+def bucket_for(df: DataFrame, id_col: str, salt: int = 0) -> Column:
+    """Type-aware :func:`hash_bucket`: integral id columns take the
+    SQL-portable modular path, everything else the xxhash64 path.
+    Raises on columns that exist but can't deterministically bucket
+    (float/double ids — equal values with different bit patterns)."""
+    dtype = dict(df.dtypes).get(id_col)
+    if dtype is None:
+        raise ValueError(f"id column {id_col!r} not in {df.columns}")
+    if dtype in _INTEGRAL_TYPES:
+        return hash_bucket(F.col(id_col), salt)
+    if dtype in ("float", "double"):
+        raise ValueError(
+            f"id column {id_col!r} is {dtype}: floating-point ids cannot "
+            "bucket deterministically — cast to a string or integer key"
+        )
+    return hash_bucket(F.col(id_col), salt, integral=False)
 
 
 # Distinct default salts per operator: the bucket is a pure function of
@@ -60,6 +94,7 @@ def hash_bucket(id_col: Column, salt: int = 0) -> Column:
 SALT_SAMPLE = 0
 SALT_SPLIT = 0x5EED5
 SALT_STRATA = 0xA17C3
+SALT_PACK = 0xB1A5  # pack_sequences shard assignment (operators/text.py)
 
 
 def hash_sample(
@@ -67,7 +102,7 @@ def hash_sample(
 ) -> DataFrame:
     """Keep a deterministic ~``rate`` fraction of rows (same rows at any
     parallelism, any run)."""
-    return df.where(hash_bucket(F.col(id_col), salt) < int(rate * P))
+    return df.where(bucket_for(df, id_col, salt) < int(rate * P))
 
 
 def hash_split(
@@ -81,7 +116,7 @@ def hash_split(
     90/5/5 train/val/test."""
     if weights is None:
         weights = {"train": 0.90, "val": 0.05, "test": 0.05}
-    b = hash_bucket(F.col(id_col), salt)
+    b = bucket_for(df, id_col, salt)
     expr = None
     acc = 0.0
     names = list(weights)
@@ -111,6 +146,6 @@ def stratified_sample(
     )
     return (
         df.join(F.broadcast(r), key_col, "left")
-        .where(hash_bucket(F.col(id_col), salt) < F.coalesce("_th", F.lit(0)))
+        .where(bucket_for(df, id_col, salt) < F.coalesce("_th", F.lit(0)))
         .drop("_th")
     )

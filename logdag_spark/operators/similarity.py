@@ -123,9 +123,14 @@ def _plane_matrix(dim: int, n_planes: int, seed: int) -> "np.ndarray":
                 "hyperplane_signature needs an active SparkSession to "
                 "derive its plane matrix (one tiny job, cached per process)"
             )
+        # collect (id, c) and sort by id on the driver: collect() row
+        # order is an implementation detail of range partitioning, and a
+        # repartition/AQE change permuting it would silently permute every
+        # plane coefficient (changing all LSH signatures)
         rows = (
             spark.range(n_planes * dim)
             .select(
+                "id",
                 (
                     F.pmod(
                         F.xxhash64(
@@ -136,12 +141,13 @@ def _plane_matrix(dim: int, n_planes: int, seed: int) -> "np.ndarray":
                         F.lit(2001),
                     )
                     - 1000
-                ).cast("double").alias("c")
+                ).cast("double").alias("c"),
             )
             .collect()
         )
         _PLANE_CACHE[key] = np.array(
-            [r["c"] for r in rows], dtype=np.float64
+            [c for _, c in sorted((r["id"], r["c"]) for r in rows)],
+            dtype=np.float64,
         ).reshape(n_planes, dim)
     return _PLANE_CACHE[key]
 

@@ -130,22 +130,41 @@ def pack_sequences(
     part_col: str = "source",
     order_col: str = "doc_id",
     col: str = "text",
+    num_shards: int = 64,
 ) -> DataFrame:
-    """Sequence-packing assignment: greedy contiguous packing of documents
-    into fixed-capacity token bins, the layout step before writing packed
+    """Sequence-packing assignment: greedy packing of documents into
+    fixed-capacity token bins, the layout step before writing packed
     training examples.
 
-    Documents are packed in ``order_col`` order WITHIN each ``part_col``
-    group (bin id = exclusive running token total // capacity, so a doc
-    straddling a boundary opens the next bin — the writer downstream
-    truncates or pads).  Packing per partition key instead of globally is
-    the scale decision: a global order would funnel the corpus through
-    one window partition, while per-source packing keeps the window
-    parallel across sources and loses nothing (packed examples only need
-    locality, not a global sequence).  Output adds (n_tok, pack_bin,
-    bin_offset).
+    Documents are packed in ``order_col`` order WITHIN each
+    ``(part_col, pack_shard)`` group (bin id = exclusive running token
+    total // capacity, so a doc straddling a boundary opens the next bin
+    — the writer downstream truncates or pads).  A bin is identified by
+    ``(part_col, pack_shard, pack_bin)``.
+
+    The shard is the scale decision: a corpus has O(10) sources, so a
+    window partitioned by ``part_col`` alone funnels each source's 10^11+
+    rows through ONE window task regardless of cluster size.  Packing
+    only needs locality — a bin's members must land together — never a
+    single global order, so each source is split into ``num_shards``
+    deterministic slices (the same multiplicative-hash bucket as
+    operators/sampling, mod ``num_shards``; SQL-replicable for integer
+    ids, xxhash64-derived otherwise) and the window runs per
+    ``(source, shard)``: parallelism scales with ``num_shards``, not
+    |sources|.  ``num_shards=1`` recovers the strict per-source
+    contiguous order.  Output adds (n_tok, pack_shard, pack_bin,
+    bin_offset); results are identical at any cluster parallelism.
     """
-    w = Window.partitionBy(part_col).orderBy(order_col)
+    from logdag_spark.operators.sampling import SALT_PACK, bucket_for
+
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    shard = (
+        F.pmod(bucket_for(df, order_col, SALT_PACK), F.lit(num_shards))
+        if num_shards > 1
+        else F.lit(0)
+    ).cast("int")
+    w = Window.partitionBy(part_col, "pack_shard").orderBy(order_col)
     excl = F.coalesce(
         F.sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0),
@@ -155,6 +174,7 @@ def pack_sequences(
     # get there — the SQL oracle's `//` is exact, so this must be too
     return (
         df.withColumn("n_tok", token_count(col))
+        .withColumn("pack_shard", shard)
         .withColumn("_excl", excl)
         .withColumn("pack_bin", F.expr(f"_excl div {int(capacity)}"))
         .withColumn("bin_offset", F.pmod(F.col("_excl"), F.lit(int(capacity))).cast("long"))

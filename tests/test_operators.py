@@ -59,6 +59,39 @@ def test_minhash_lsh_recall(spark, docs_with_dups):
         assert a in kept and (a + 1) not in kept
 
 
+def test_minhash_dedup_heavy_identical_cluster(spark):
+    """A planted cluster of B byte-identical docs must NOT cost B² LSH
+    candidate pairs: minhash_dedup collapses exact content first, so the
+    banded self-join sees one representative per distinct text (the
+    direct candidate path on the raw frame emits the full B*(B-1)/2 —
+    asserted here as the contrast)."""
+    B = 40
+    boiler = "all work and no play makes jack a dull boy " * 4
+    rows = [(i, boiler) for i in range(B)]
+    rows += [
+        (100 + i, f"distinct document {i} alpha{i} beta{i} gamma{i} delta{i}")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # raw candidate path: quadratic in the identical cluster
+    raw_pairs = dedup.minhash_lsh_candidates(df, num_hashes=16, bands=8).count()
+    assert raw_pairs >= B * (B - 1) // 2
+
+    # the dedup chain: collapse exact content, LSH only distinct reps
+    keyed = df.select(F.col("doc_id").alias("_id"), F.xxhash64("text").alias("_ch"))
+    reps = df.join(
+        keyed.groupBy("_ch").agg(F.min("_id").alias("doc_id")).select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    rep_pairs = dedup.minhash_lsh_candidates(reps, num_hashes=16, bands=8).count()
+    assert rep_pairs < B  # O(distinct content), not O(B^2)
+
+    out = dedup.minhash_dedup(df, num_hashes=16, bands=8, jaccard_th=0.9)
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert kept == {0} | {100 + i for i in range(10)}
+
+
 def test_ngram_jaccard_sanity(spark, docs_with_dups):
     pairs = dedup.all_pairs_jaccard(docs_with_dups, th=0.99)
     got = {(r["id1"], r["id2"]) for r in pairs.collect()}
@@ -522,9 +555,83 @@ def test_pack_sequences_bins(spark):
     df = spark.createDataFrame(rows, "doc_id long, source string, text string")
     got = {
         r["doc_id"]: (r["pack_bin"], r["bin_offset"])
-        for r in pack_sequences(df, capacity=5).collect()
+        for r in pack_sequences(df, capacity=5, num_shards=1).collect()
     }
     assert got == {0: (0, 0), 1: (0, 3), 2: (1, 0), 3: (0, 0)}
+
+
+def test_pack_sequences_sharded_scales_and_exact(spark):
+    """The packing window must parallelize beyond |sources|: with
+    num_shards=N one source yields ~N window partitions, each packed in
+    exact doc_id order (verified against a per-shard reference
+    recomputation), and the assignment is identical at any input
+    partitioning."""
+    from pyspark.sql import functions as F
+
+    from logdag_spark.operators.sampling import P, SALT_PACK, bucket_multiplier
+    from logdag_spark.operators.text import pack_sequences
+
+    rows = [(i, "only_source", "w " * (1 + i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = pack_sequences(df, capacity=10, num_shards=8).collect()
+
+    shards = {r["pack_shard"] for r in out}
+    assert len(shards) == 8  # parallelism scales with num_shards, not |sources|
+
+    # exactness: per shard, replay the greedy exclusive-prefix packing
+    mult = bucket_multiplier(SALT_PACK)
+    by_shard: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: r["doc_id"]):
+        assert r["pack_shard"] == ((r["doc_id"] % P) * mult) % P % 8
+        by_shard.setdefault(r["pack_shard"], []).append(r)
+    for members in by_shard.values():
+        excl = 0
+        for r in members:  # already doc_id-ordered
+            assert (r["pack_bin"], r["bin_offset"]) == (excl // 10, excl % 10)
+            excl += r["n_tok"]
+
+    # partitioning-independence: 13-way repartition gives identical bins
+    again = {
+        (r["doc_id"], r["pack_shard"], r["pack_bin"], r["bin_offset"])
+        for r in pack_sequences(
+            df.repartition(13, F.col("text")), capacity=10, num_shards=8
+        ).collect()
+    }
+    assert again == {
+        (r["doc_id"], r["pack_shard"], r["pack_bin"], r["bin_offset"]) for r in out
+    }
+
+
+def test_sampling_string_ids(spark):
+    """String ids must bucket through xxhash64, not a silent cast('long')
+    — the cast crashes ANSI mode (or, non-ANSI, NULLs every bucket:
+    hash_sample then drops 100% of rows and hash_split labels everything
+    with the LAST split name)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from logdag_spark.operators import sampling
+
+    ids = spark.range(2000).select(
+        F.format_string("%013d-doc-%08d", "id", "id").alias("doc_id")
+    )
+    kept = sampling.hash_sample(ids, 0.3)
+    n = kept.count()
+    assert 0.25 * 2000 < n < 0.35 * 2000  # not 0 (NULL buckets) and rated
+    # deterministic at any parallelism
+    n2 = sampling.hash_sample(ids.repartition(7), 0.3).count()
+    assert n2 == n
+    splits = {
+        r["split"]: r["n"]
+        for r in sampling.hash_split(ids)
+        .groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(splits) == {"train", "val", "test"}  # not all-'test'
+    assert splits["train"] > splits["val"]
+    # float ids can't bucket deterministically: loud, not silent
+    fids = spark.range(10).select(F.col("id").cast("double").alias("doc_id"))
+    with _pytest.raises(ValueError, match="floating-point"):
+        sampling.hash_sample(fids, 0.5)
 
 
 def test_sampling_stages_decorrelated(spark):
