@@ -2,14 +2,18 @@
 (/root/reference/logdag/__main__.py:510-603, source/__main__.py:181-209).
 
     python -m logdag_spark make-evdb    --scale 1 --warehouse WH
-    python -m logdag_spark make-dag     --scale 1 --warehouse WH [--algorithm pc|pc-corr]
+    python -m logdag_spark make-dag     --scale 1 --warehouse WH \
+        [--algorithm pc|pc-corr|lingam|lingam-corr] [--lingam-algorithm direct|ica]
     python -m logdag_spark show-stats   --warehouse WH
     python -m logdag_spark show-edges   --warehouse WH [--unit U]
     python -m logdag_spark show-subgraphs --warehouse WH
+    python -m logdag_spark show-stats-by-threshold --warehouse WH
+    python -m logdag_spark update-event-label --warehouse WH
     python -m logdag_spark dump-input   --warehouse WH --out CSV_DIR
     python -m logdag_spark lineage      --warehouse WH
     python -m logdag_spark dedup-docs   --input DOCS_PARQUET [--method exact|minhash]
-    python -m logdag_spark ann-topk     --input EMB_PARQUET [--method ivf|lsh|brute] [--k 10]
+    python -m logdag_spark ann-topk     --input EMB_PARQUET [--method ivf|lsh|brute]
+                                        [--k 10] [--queries Q_PARQUET]
     python -m logdag_spark sample-docs  --input DOCS_PARQUET [--method split|sample] [--rate 0.1]
     python -m logdag_spark pack-docs    --input DOCS_PARQUET [--capacity 512]
     python -m logdag_spark vocab        --input DOCS_PARQUET [--k 100]
@@ -33,7 +37,14 @@ def _common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--scale", type=float, default=1.0)
     p.add_argument("--cores", type=int, default=None)
     p.add_argument("--bin-size", default="1m")
-    p.add_argument("--algorithm", default="pc-corr", choices=["pc", "pc-corr"])
+    p.add_argument(
+        "--algorithm", default="pc-corr",
+        choices=["pc", "pc-corr", "lingam", "lingam-corr"],
+    )
+    p.add_argument(
+        "--lingam-algorithm", default="direct", choices=["direct", "ica"],
+        help="lingam estimator (reference [lingam] algorithm)",
+    )
     p.add_argument("--ci-func", default="fisherz", choices=["fisherz", "gsq"])
     p.add_argument("--no-filters", action="store_true")
     p.add_argument("--out", default=None, help="output dir (dump-input CSV)")
@@ -48,6 +59,11 @@ def _common(p: argparse.ArgumentParser) -> None:
         help="ann-topk neighbors per query (default 10) / vocab size (default 100)",
     )
     p.add_argument("--rate", type=float, default=0.1, help="sample-docs keep rate")
+    p.add_argument(
+        "--queries", default=None,
+        help="ann-topk: parquet of query vectors (vec_id, embedding); "
+             "defaults to the first 20 corpus vectors as a demo",
+    )
     p.add_argument("--capacity", type=int, default=512, help="pack-docs tokens per bin")
 
 
@@ -56,6 +72,7 @@ def main(argv: list[str] | None = None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
     for cmd in (
         "make-evdb", "make-dag", "show-stats", "show-edges", "show-subgraphs",
+        "show-stats-by-threshold", "update-event-label",
         "dump-input", "lineage", "dedup-docs", "ann-topk",
         "sample-docs", "pack-docs", "vocab",
     ):
@@ -71,6 +88,7 @@ def main(argv: list[str] | None = None) -> int:
     cfg = PipelineConfig(
         cause_algorithm=args.algorithm, ci_func=args.ci_func,
         ci_bin_size=args.bin_size, warehouse=args.warehouse,
+        lingam_algorithm=args.lingam_algorithm,
     )
     dt_range = (DEFAULT_T0, DEFAULT_T0 + timedelta(hours=24))
 
@@ -104,6 +122,30 @@ def main(argv: list[str] | None = None) -> int:
 
         comp = connected_components(cat.read("dag_edges"), cat.read("event_dim"))
         netsize_distribution(comp).show(truncate=False)
+    elif args.cmd == "show-stats-by-threshold":
+        # reference __main__.py:289-297: surviving-edge totals for each
+        # ate_prune threshold 0.0 .. 0.9
+        from logdag_spark.operators.graphops import stats_by_threshold
+
+        stats_by_threshold(cat.read("dag_edges")).show(truncate=False)
+    elif args.cmd == "update-event-label":
+        # reference __main__.py:87-110: reload the gid->group mapping and
+        # rewrite the evmap's group tags (unmapped keys keep theirs)
+        from pyspark.sql import functions as F
+
+        from logdag_spark.operators.graphops import update_event_labels
+
+        gid_groups = fx.template_dim(spark).select(
+            F.col("gid").cast("string").alias("gid"), "group"
+        )
+        updated = update_event_labels(cat.read("event_dim"), gid_groups)
+        # materialize before the overwrite: the plan otherwise reads the
+        # very files the write is replacing (event_dim is a small dim)
+        cat.write(
+            updated.localCheckpoint(eager=True), "event_dim",
+            stage="update-event-label",
+        )
+        cat.read("event_dim").groupBy("group").count().show(truncate=False)
     elif args.cmd == "dump-input":
         # S9: write the per-unit input matrix as CSV (reference
         # __main__.py:111-121 dumps TSV); without --out, preview
@@ -137,7 +179,11 @@ def main(argv: list[str] | None = None) -> int:
 
         emb = spark.read.parquet(args.input)
         dim = len(emb.select("embedding").first()["embedding"])
-        q = emb.where(F.col("vec_id") < 20)
+        q = (
+            spark.read.parquet(args.queries)
+            if args.queries
+            else emb.where(F.col("vec_id") < 20)
+        )
         method = args.method or "ivf"
         k = args.k if args.k is not None else 10
         if method == "ivf":

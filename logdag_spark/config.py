@@ -74,8 +74,12 @@ class PipelineConfig:
     linear_th: float = 0.5
     linear_count: int = 10
     # causal inference (config.conf.default:173-186)
-    cause_algorithm: str = "pc"  # pc | pc-corr
+    cause_algorithm: str = "pc"  # pc | pc-corr | lingam | lingam-corr
     ci_func: str = "fisherz"  # fisherz | gsq
+    # lingam estimator knobs (reference config [lingam] section,
+    # lingam_input.py:28-40): algorithm direct|ica, coefficient floor
+    lingam_algorithm: str = "direct"
+    lingam_lower_limit: float = 0.05
     skeleton_method: str = "stable"
     skeleton_depth: int = -1
     skeleton_threshold: float = 0.01

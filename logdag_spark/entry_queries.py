@@ -1409,6 +1409,94 @@ ORDER BY unit
 """
 
 
+def q_lingam_corr_daily(spark, sf_dir):
+    """`lingam-corr` pairwise LiNGAM (/root/reference/makedag.py:124-130 ->
+    lingam_input.py:62-95): per day-unit, a seeded 3-variable chain
+    x -> y -> z over the 10-minute 'error' event parity (x binary, y and z
+    with deterministic arithmetic-hash uniform noise).  Every
+    2-combination gets its OWN 2-variable DirectLiNGAM fit, so the DAG is
+    {x->y, y->z, x->z} — the indirect x->z edge INCLUDED (no
+    residualization against the third variable, exactly the reference's
+    estimate_corr semantics), each weight the population OLS slope of
+    effect on cause, which DuckDB states as ``regr_slope``.  Both the
+    per-pair direction decision and all three coefficients are
+    oracle-checked."""
+    from logdag_spark.pipeline.lingam import lingam_corr_edges
+
+    nb, days, step_s = 144, 30, 600
+    ev = _load(spark, sf_dir, "events").where(
+        (F.col("ts") >= F.lit(T0))
+        & (F.col("ts") < F.lit(T0 + timedelta(days=days)))
+        & (F.col("event_type") == "error")
+    )
+    h = F.floor(((F.unix_millis("ts") / 1000).cast("bigint") - F.lit(T0_S)) / step_s)
+    cnts = ev.groupBy(h.alias("h")).agg(F.count("*").alias("c"))
+    unit_of = F.date_format(
+        F.timestamp_seconds(F.lit(T0_S) + F.floor(F.col("h") / nb) * 86400), "yyyyMMdd"
+    ).alias("unit")
+    bin_of = F.timestamp_seconds(F.lit(T0_S) + F.col("h") * step_s).alias("bin")
+    x = cnts.select(
+        unit_of, F.lit(0).cast("long").alias("eid"), bin_of,
+        (F.col("c") % 2).cast("double").alias("cnt"),
+    )
+    spine = spark.range(days * nb).withColumnRenamed("id", "h")
+    u1 = (((F.col("h") * 2654435761) % 97) / 97.0 - 0.5)
+    u2 = (((F.col("h") * 1779033703) % 89) / 89.0 - 0.5)
+    xv = F.coalesce(F.col("c") % 2, F.lit(0)).cast("double")
+    joined = spine.join(cnts, "h", "left")
+    y = joined.select(
+        unit_of, F.lit(1).cast("long").alias("eid"), bin_of,
+        (2 * xv + u1).alias("cnt"),
+    )
+    z = joined.select(
+        unit_of, F.lit(2).cast("long").alias("eid"), bin_of,
+        (0.5 * (2 * xv + u1) + u2).alias("cnt"),
+    )
+    meta = {
+        (T0 + timedelta(days=d)).strftime("%Y%m%d"): (T0 + timedelta(days=d), nb)
+        for d in range(days)
+    }
+    edges = lingam_corr_edges(
+        x.unionByName(y).unionByName(z), meta, timedelta(seconds=step_s)
+    )
+    return edges.select(
+        "unit", "src_eid", "dst_eid", "directed", F.round("weight", 6).alias("weight")
+    ).orderBy("unit", "src_eid", "dst_eid")
+
+
+SQL_LINGAM_CORR = f"""
+WITH spine AS (SELECT unnest(range(0, {30 * 144})) AS h),
+x AS (
+  SELECT ((epoch_ms(ts) // 1000) - {T0_S}) // 600 AS h,
+         (count(*) % 2)::double AS x
+  FROM events
+  WHERE event_type = 'error'
+    AND (epoch_ms(ts) // 1000) >= {T0_S}
+    AND (epoch_ms(ts) // 1000) < {T0_S + 30 * 86400}
+  GROUP BY 1
+),
+xyz AS (
+  SELECT s.h // 144 AS d, coalesce(x.x, 0) AS xv,
+         2 * coalesce(x.x, 0) + (((s.h * 2654435761) % 97) / 97.0 - 0.5) AS yv,
+         0.5 * (2 * coalesce(x.x, 0) + (((s.h * 2654435761) % 97) / 97.0 - 0.5))
+             + (((s.h * 1779033703) % 89) / 89.0 - 0.5) AS zv
+  FROM spine s LEFT JOIN x USING (h)
+),
+pairs AS (
+  SELECT d, 0 AS src_eid, 1 AS dst_eid, regr_slope(yv, xv) AS w FROM xyz GROUP BY d
+  UNION ALL
+  SELECT d, 0, 2, regr_slope(zv, xv) FROM xyz GROUP BY d
+  UNION ALL
+  SELECT d, 1, 2, regr_slope(zv, yv) FROM xyz GROUP BY d
+)
+SELECT strftime(make_timestamp(({T0_S} + d * 86400) * 1000000), '%Y%m%d') AS unit,
+       src_eid::bigint AS src_eid, dst_eid::bigint AS dst_eid, true AS directed,
+       round(w, 6) AS weight
+FROM pairs WHERE abs(w) >= 0.05
+ORDER BY unit, src_eid, dst_eid
+"""
+
+
 def q_pc_depth2_daily(spark, sf_dir):
     """G2 PC-stable at conditioning depth 2 over the daily hourly-binned
     event-type series (rows-only + per-row fingerprint: the depth>=1
@@ -2481,6 +2569,7 @@ QUERIES = {
     "event_detail": (q_event_detail, SQL_EVENT_DETAIL),
     "eval_accuracy": (q_eval_accuracy, SQL_EVAL_ACCURACY),
     "lingam_2var_daily": (q_lingam_2var_daily, SQL_LINGAM_2VAR),
+    "lingam_corr_daily": (q_lingam_corr_daily, SQL_LINGAM_CORR),
     "near_dup_groups": (q_near_dup_groups, SQL_NEAR_DUP_GROUPS),
     "stream_event_counts": (q_stream_event_counts, SQL_STREAM_COUNTS),
     "sample_split": (q_sample_split, SQL_SAMPLE_SPLIT),

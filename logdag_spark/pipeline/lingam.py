@@ -70,16 +70,36 @@ def _diff_mutual_info(xi: np.ndarray, xj: np.ndarray) -> float:
     )
 
 
-def causal_order(X: np.ndarray) -> list[int]:
+def causal_order(X: np.ndarray, pk: np.ndarray | None = None) -> list[int]:
     """DirectLiNGAM ordering: repeatedly extract the variable that looks
-    most exogenous against every remaining variable."""
+    most exogenous against every remaining variable.
+
+    ``pk`` is the optional prior-knowledge matrix in the reference
+    estimator's convention (lingam_input.py:34-39 passes it as
+    ``prior_knowledge=pmatrix``): ``pk[i, j] == 1`` means a known directed
+    path x_j -> x_i, ``0`` means known absence, ``-1`` unknown.  It
+    constrains the ORDER SEARCH, not just the fitted coefficients: a
+    variable with a known still-remaining ancestor (some ``pk[i, j] == 1``
+    with j in U) cannot be chosen exogenous, so data noise can never
+    invert a declared direction.  If the constraints are contradictory
+    (every remaining variable has a remaining known ancestor — a pk
+    cycle), the constraint set is unsatisfiable and the data measure
+    decides unconstrained for that step.
+    """
     n, p = X.shape
     U = list(range(p))
     Xw = X.astype(float).copy()
     order: list[int] = []
     while len(U) > 1:
+        if pk is not None:
+            cands = [
+                i for i in U
+                if not any(pk[i, j] == 1 for j in U if j != i)
+            ] or U
+        else:
+            cands = U
         scores = {}
-        for i in U:
+        for i in cands:
             total = 0.0
             for j in U:
                 if i == j:
@@ -87,7 +107,7 @@ def causal_order(X: np.ndarray) -> list[int]:
                 m = _diff_mutual_info(Xw[:, i], Xw[:, j])
                 total += min(0.0, m) ** 2
             scores[i] = total
-        k = min(sorted(U), key=lambda i: scores[i])
+        k = min(sorted(cands), key=lambda i: scores[i])
         order.append(k)
         U.remove(k)
         for j in U:
@@ -96,14 +116,26 @@ def causal_order(X: np.ndarray) -> list[int]:
     return order
 
 
-def fit_coefficients(X: np.ndarray, order: list[int], th: float = 0.05) -> np.ndarray:
+def fit_coefficients(
+    X: np.ndarray,
+    order: list[int],
+    th: float = 0.05,
+    pk: np.ndarray | None = None,
+) -> np.ndarray:
     """Least-squares fit of the strictly-lower-triangular (in causal
     order) adjacency B; coefficients with |b| < th are pruned
-    (the reference's lowest-weight pruning knob, lingam_input.py:60-73)."""
+    (the reference's lowest-weight pruning knob, lingam_input.py:60-73).
+
+    ``pk[i, j] == 0`` EXCLUDES x_j from x_i's regression (refit without
+    the forbidden parent, not post-hoc zeroing — zeroing one coefficient
+    of a joint fit leaves the others biased by the omitted regressor's
+    share of the covariance)."""
     p = X.shape[1]
     B = np.zeros((p, p))
     for pos, i in enumerate(order):
         parents = order[:pos]
+        if pk is not None:
+            parents = [j for j in parents if pk[i, j] != 0]
         if not parents:
             continue
         A = X[:, parents]
@@ -113,6 +145,165 @@ def fit_coefficients(X: np.ndarray, order: list[int], th: float = 0.05) -> np.nd
             if abs(c) >= th:
                 B[i, j] = c
     return B
+
+
+# ------------------------------------------------------------- ICA variant
+
+
+def fastica_unmixing(
+    X: np.ndarray, max_iter: int = 1000, tol: float = 1e-6, seed: int = 0
+) -> np.ndarray:
+    """FastICA unmixing matrix W (s = W @ x, x centered) via symmetric
+    whitening + logcosh deflation (Hyvarinen's fixed-point iteration) —
+    numpy only, deterministic via the seeded start vectors.
+
+    This is the public-algorithm core of ICA-LiNGAM
+    (/root/reference/logdag/lingam_input.py:28-33 delegates to
+    ``lingam.ICALiNGAM(max_iter=...)``, which wraps sklearn's FastICA).
+    """
+    n, p = X.shape
+    Xc = X - X.mean(0)
+    cov = Xc.T @ Xc / max(n, 1)
+    d, E = np.linalg.eigh(cov)
+    d = np.clip(d, 1e-12, None)
+    K = E @ np.diag(d**-0.5) @ E.T  # symmetric (zca) whitening
+    Z = Xc @ K.T
+    rng = np.random.default_rng(seed)
+    W = np.zeros((p, p))
+    for i in range(p):
+        w = rng.normal(size=p)
+        w /= np.linalg.norm(w)
+        for _ in range(max_iter):
+            wx = Z @ w
+            g = np.tanh(wx)
+            w_new = (Z * g[:, None]).mean(0) - (1 - g**2).mean() * w
+            w_new -= W[:i].T @ (W[:i] @ w_new)  # deflation
+            nrm = np.linalg.norm(w_new)
+            if nrm < 1e-12:
+                break
+            w_new /= nrm
+            done = abs(abs(w_new @ w) - 1) < tol
+            w = w_new
+            if done:
+                break
+        W[i] = w
+    return W @ K
+
+
+def _diag_row_assignment(W: np.ndarray) -> list[int]:
+    """Row permutation giving W a dominant nonzero diagonal.
+
+    Exact (min sum 1/|W_ii| over all permutations) for p <= 8; beyond
+    that, greedy global-max assignment — repeatedly take the largest
+    remaining |W[r, c]| and pin row r to column c.  O(p^3) worst case vs
+    p! exact and the standard ICA-LiNGAM practice (a pairwise-swap local
+    search measured O(p^4) per sweep and did not finish on a 140-variable
+    unit)."""
+    p = W.shape[0]
+    if p <= 8:
+        from itertools import permutations
+
+        return list(
+            min(
+                permutations(range(p)),
+                key=lambda perm: sum(
+                    1.0 / max(abs(W[perm[i], i]), 1e-12) for i in range(p)
+                ),
+            )
+        )
+    A = np.abs(W).copy()
+    perm = [-1] * p
+    for _ in range(p):
+        r, c = np.unravel_index(int(np.argmax(A)), A.shape)
+        perm[c] = int(r)
+        A[r, :] = -1.0
+        A[:, c] = -1.0
+    return perm
+
+
+def _order_from_triangularity(B: np.ndarray) -> list[int]:
+    """Variable order making B as strictly-lower-triangular as possible:
+    zero the p(p+1)/2 smallest |B| entries, test for a zero-row peel
+    order, and keep zeroing the next-smallest entry until one exists
+    (Shimizu et al. JMLR 2006, step 4 of ICA-LiNGAM)."""
+    p = B.shape[0]
+    mags = np.abs(B).copy()
+    np.fill_diagonal(mags, 0.0)
+    flat = np.argsort(mags, axis=None)
+    Bz = mags.copy()
+    m = p * (p + 1) // 2
+    Bz[np.unravel_index(flat[:m], Bz.shape)] = 0.0
+    k = m
+    while True:
+        order = _peel_zero_rows(Bz)
+        if order is not None:
+            return order
+        if k >= p * p:
+            return list(range(p))  # fully zeroed: any order is triangular
+        Bz[np.unravel_index(flat[k], Bz.shape)] = 0.0
+        k += 1
+
+
+def _peel_zero_rows(Bz: np.ndarray) -> list[int] | None:
+    """If Bz can be permuted to strictly lower triangular, return the
+    peel order (repeatedly extract a row with no remaining parents)."""
+    p = Bz.shape[0]
+    remaining = list(range(p))
+    order: list[int] = []
+    while remaining:
+        found = None
+        for i in remaining:
+            if all(Bz[i, j] == 0.0 for j in remaining if j != i):
+                found = i
+                break
+        if found is None:
+            return None
+        order.append(found)
+        remaining.remove(found)
+    return order
+
+
+def ica_causal_order(X: np.ndarray, max_iter: int = 1000, seed: int = 0) -> list[int]:
+    """ICA-LiNGAM ordering (Shimizu et al., JMLR 2006): estimate the
+    unmixing W by FastICA, permute rows to a nonzero dominant diagonal,
+    scale rows to unit diagonal, read B = I - W', then find the variable
+    order closest to strictly lower triangular by incremental
+    smallest-entry zeroing."""
+    p = X.shape[1]
+    W = fastica_unmixing(X, max_iter=max_iter, seed=seed)
+    rperm = _diag_row_assignment(W)
+    Wp = W[rperm, :]
+    Wp = Wp / np.diag(Wp)[:, None]
+    B = np.eye(p) - Wp
+    return _order_from_triangularity(B)
+
+
+# ---------------------------------------------------------------- pairwise
+
+
+def fit_pair(
+    x: np.ndarray, y: np.ndarray, algorithm: str = "direct",
+    lower_limit: float = 0.05, seed: int = 0,
+) -> tuple[int, float] | None:
+    """2-variable LiNGAM: returns (direction, coefficient) where
+    direction 0 means x -> y and 1 means y -> x, or None when the fitted
+    coefficient falls under ``lower_limit``.  The coefficient is the OLS
+    slope of the effect on the cause (with intercept) — for one parent
+    exactly the population regression slope, which is what makes the
+    pairwise mode DuckDB-oracle-checkable (``regr_slope``)."""
+    X2 = np.column_stack([x, y]).astype(float)
+    if algorithm == "direct":
+        order = causal_order(X2)
+    elif algorithm == "ica":
+        order = ica_causal_order(X2, seed=seed)
+    else:
+        raise ValueError(f"invalid lingam algorithm {algorithm!r}")
+    B = fit_coefficients(X2, order, th=lower_limit)
+    cause, effect = order
+    c = B[effect, cause]
+    if c == 0.0:
+        return None
+    return cause, float(c)
 
 
 def lingam_matrix_to_edges(unit: str, B: np.ndarray, eids: np.ndarray) -> pd.DataFrame:
@@ -135,14 +326,25 @@ def lingam_edges(
     noedge: DataFrame | None = None,
     method: str = "sequential",
     bin_diff: timedelta | None = None,
+    algorithm: str = "direct",
+    ica_max_iter: int = 1000,
 ) -> DataFrame:
-    """Distributed DirectLiNGAM over all units (grouped-map kernel).
+    """Distributed LiNGAM over all units (grouped-map kernel).
 
-    ``noedge`` (unit, eid1, eid2) zeroes the corresponding coefficients —
-    the prior-knowledge no-path constraint (reference passes
-    ``lingam_prior_knowledge`` into the estimator,
-    /root/reference/logdag/pknowledge.py:93-112; here the constraint is
-    applied to the fitted triangular B, equivalent for no-EDGE rules).
+    ``algorithm`` selects the estimator, mirroring the reference's
+    ``[lingam] algorithm`` config (lingam_input.py:28-40): ``'direct'``
+    is DirectLiNGAM; ``'ica'`` is ICA-LiNGAM (FastICA unmixing ->
+    permutation search; ``ica_max_iter`` mirrors the reference knob).
+
+    ``noedge`` (unit, eid1, eid2) is the prior-knowledge no-path
+    constraint (reference passes ``lingam_prior_knowledge`` into the
+    estimator, /root/reference/logdag/pknowledge.py:93-112).  For
+    ``direct`` it becomes a pk matrix (0 = forbidden both ways) handed
+    to the order search and the coefficient fit — forbidden parents are
+    EXCLUDED from the regression, not post-zeroed.  ICA-LiNGAM does not
+    take prior knowledge (the reference warns and ignores it,
+    lingam_input.py:29-31); to still honor G7's pruning contract the
+    forbidden coefficients are zeroed after the fit.
     ``method``/``bin_diff`` must match the discretize stage (bin labels
     step by bin_diff for slide/radius).
     """
@@ -152,6 +354,8 @@ def lingam_edges(
         label_step_ms,
     )
 
+    if algorithm not in ("direct", "ica"):
+        raise ValueError(f"invalid lingam algorithm {algorithm!r}")
     spark = matrix.sparkSession
     step_ms, offset_ms = label_step_ms(bin_size, method, bin_diff)
     meta = {u: (_to_utc_ms(t0), nb) for u, (t0, nb) in unit_meta.items()}
@@ -164,20 +368,109 @@ def lingam_edges(
         unit = mdf["unit"].iloc[0]
         t0_ms, nb = meta[unit]
         mat, eids = assemble_unit_matrix(mdf, t0_ms, nb, step_ms, offset_ms)
-        order = causal_order(mat)
-        B = fit_coefficients(mat, order, th)
+        pos = {e: k for k, e in enumerate(eids)}
+        pk = None
         if len(ndf):
-            pos = {e: k for k, e in enumerate(eids)}
+            pk = np.full((len(eids), len(eids)), -1, dtype=np.int64)
             for _, r in ndf.iterrows():
                 a, b = pos.get(r["eid1"]), pos.get(r["eid2"])
                 if a is not None and b is not None:
-                    B[a, b] = B[b, a] = 0.0
+                    pk[a, b] = pk[b, a] = 0
+        if algorithm == "direct":
+            order = causal_order(mat, pk=pk)
+            B = fit_coefficients(mat, order, th, pk=pk)
+        else:
+            order = ica_causal_order(mat, max_iter=ica_max_iter)
+            B = fit_coefficients(mat, order, th)
+            if pk is not None:
+                B[pk == 0] = 0.0
         return lingam_matrix_to_edges(unit, B, eids)
 
     if noedge is None:
         noedge = spark.createDataFrame([], "unit string, eid1 long, eid2 long")
     else:
         # fresh attribute ids (see pc_edges: cogroup self-join ambiguity)
+        noedge = noedge.select("unit", "eid1", "eid2").toDF("unit", "eid1", "eid2")
+    return (
+        matrix.groupBy("unit")
+        .cogroup(noedge.groupBy("unit"))
+        .applyInPandas(kernel, EDGE_SCHEMA)
+    )
+
+
+def lingam_corr_edges(
+    matrix: DataFrame,
+    unit_meta: dict[str, tuple[datetime, int]],
+    bin_size: timedelta,
+    lower_limit: float = 0.05,
+    noedge: DataFrame | None = None,
+    method: str = "sequential",
+    bin_diff: timedelta | None = None,
+    algorithm: str = "direct",
+) -> DataFrame:
+    """``lingam-corr`` — pairwise LiNGAM coefficients per unit
+    (/root/reference/logdag/makedag.py:124-130 ->
+    lingam_input.py:62-95's ``estimate_corr``): every 2-combination of
+    the unit's variables gets its OWN 2-variable fit, and the DAG is the
+    union of the per-pair edges.  Differs from whole-matrix LiNGAM in
+    exactly the reference's way: no variable is ever residualized
+    against a third, so indirect influence shows up as an edge.
+
+    Prior knowledge: a (unit, eid1, eid2) ``noedge`` pair is skipped
+    outright (the reference builds a per-pair pmatrix from the same rule
+    set, lingam_input.py:77-80 — for a no-path constraint on a 2-variable
+    fit that is equivalent to not emitting the pair's edge).
+
+    Spark shape: same grouped-map fleet as :func:`lingam_edges` — a unit
+    is a small dense matrix, pairs loop inside the kernel (the reference
+    loops ``combinations(data.columns, 2)`` in-process too); parallelism
+    comes from the fleet of units.
+    """
+    from itertools import combinations
+
+    from logdag_spark.pipeline.pc import (
+        _to_utc_ms,
+        assemble_unit_matrix,
+        label_step_ms,
+    )
+
+    if algorithm not in ("direct", "ica"):
+        raise ValueError(f"invalid lingam algorithm {algorithm!r}")
+    spark = matrix.sparkSession
+    step_ms, offset_ms = label_step_ms(bin_size, method, bin_diff)
+    meta = {u: (_to_utc_ms(t0), nb) for u, (t0, nb) in unit_meta.items()}
+
+    def kernel(mdf: pd.DataFrame, ndf: pd.DataFrame) -> pd.DataFrame:
+        if len(mdf) == 0:
+            return pd.DataFrame(
+                columns=["unit", "src_eid", "dst_eid", "directed", "weight"]
+            )
+        unit = mdf["unit"].iloc[0]
+        t0_ms, nb = meta[unit]
+        mat, eids = assemble_unit_matrix(mdf, t0_ms, nb, step_ms, offset_ms)
+        banned = {
+            frozenset((r["eid1"], r["eid2"])) for _, r in ndf.iterrows()
+        }
+        rows = []
+        for a, b in combinations(range(len(eids)), 2):
+            if frozenset((int(eids[a]), int(eids[b]))) in banned:
+                continue
+            fit = fit_pair(
+                mat[:, a], mat[:, b], algorithm=algorithm,
+                lower_limit=lower_limit,
+            )
+            if fit is None:
+                continue
+            direction, coef = fit
+            src, dst = (a, b) if direction == 0 else (b, a)
+            rows.append((unit, int(eids[src]), int(eids[dst]), True, coef))
+        return pd.DataFrame(
+            rows, columns=["unit", "src_eid", "dst_eid", "directed", "weight"]
+        )
+
+    if noedge is None:
+        noedge = spark.createDataFrame([], "unit string, eid1 long, eid2 long")
+    else:
         noedge = noedge.select("unit", "eid1", "eid2").toDF("unit", "eid1", "eid2")
     return (
         matrix.groupBy("unit")

@@ -270,8 +270,18 @@ def run_pipeline(
         from logdag_spark.pipeline.lingam import lingam_edges
 
         edges = lingam_edges(
-            mat, _unit_meta(), cfg.bin_size, noedge=noedge,
+            mat, _unit_meta(), cfg.bin_size, th=cfg.lingam_lower_limit,
+            noedge=noedge, method=cfg.ci_bin_method, bin_diff=bin_diff,
+            algorithm=cfg.lingam_algorithm,
+        )
+    elif cfg.cause_algorithm == "lingam-corr":
+        from logdag_spark.pipeline.lingam import lingam_corr_edges
+
+        edges = lingam_corr_edges(
+            mat, _unit_meta(), cfg.bin_size,
+            lower_limit=cfg.lingam_lower_limit, noedge=noedge,
             method=cfg.ci_bin_method, bin_diff=bin_diff,
+            algorithm=cfg.lingam_algorithm,
         )
     elif cfg.cause_algorithm == "pc":
         edges = pc_edges(

@@ -1,0 +1,67 @@
+"""CLI dispatch smoke tests (reference __main__.py command surface).
+
+The CLI builds its own session via get_spark(); under test that
+getOrCreate()-returns the session fixture, so ``stop`` is neutered for
+the duration (stopping it would kill every later test in the session).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture()
+def cli_run(monkeypatch, spark):
+    from logdag_spark import cli
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    def run(*argv: str) -> int:
+        return cli.main(list(argv))
+
+    return run
+
+
+@pytest.fixture(scope="module")
+def warehouse(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("cli_wh"))
+
+
+def test_make_dag_then_threshold_stats_and_relabel(cli_run, spark, warehouse):
+    # build a tiny warehouse once (make-dag checkpoints evdb + edges)
+    assert cli_run("make-dag", "--scale", "0.02", "--warehouse", warehouse) == 0
+
+    # show-stats-by-threshold (reference __main__.py:289-297)
+    assert cli_run("show-stats-by-threshold", "--warehouse", warehouse) == 0
+
+    # update-event-label (reference __main__.py:87-110): rewrites the
+    # event dim's group tags from the template gid->group mapping and
+    # persists the result
+    assert cli_run("update-event-label", "--warehouse", warehouse) == 0
+    from logdag_spark.io.catalog import Catalog
+
+    evdim = Catalog(spark, warehouse).read("event_dim")
+    assert "group" in evdim.columns
+    from logdag_spark import fixtures as fx
+    from pyspark.sql import functions as F
+
+    known = {
+        r["group"]
+        for r in fx.template_dim(spark).select("group").distinct().collect()
+    }
+    got = {
+        r["group"]
+        for r in evdim.where(F.col("group").isNotNull())
+        .select("group").distinct().collect()
+    }
+    assert got and got <= known | {"snmp"}
+
+
+def test_ann_topk_with_query_file(cli_run, spark, tmp_path):
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    qpath = str(tmp_path / "queries.parquet")
+    spark.read.parquet(emb).limit(5).write.parquet(qpath)
+    assert cli_run(
+        "ann-topk", "--input", emb, "--queries", qpath,
+        "--method", "brute", "--k", "3",
+    ) == 0

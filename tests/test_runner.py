@@ -103,6 +103,20 @@ def test_pc_gsq_e2e(spark, inputs):
     assert res.edges.count() > 0
 
 
+def test_lingam_corr_e2e(spark, inputs):
+    """lingam-corr mode (reference makedag.py:124-130): pairwise LiNGAM
+    edges come out directed with OLS-slope weights."""
+    labeled, hmeta, tdim = inputs
+    cfg = PipelineConfig(cause_algorithm="lingam-corr", ci_bin_size="5m")
+    res = run_pipeline(
+        spark, fx.contract(labeled), hmeta, tdim, DT_RANGE, cfg, apply_filters=False
+    )
+    rows = res.edges.collect()
+    assert rows
+    assert all(r["directed"] for r in rows)
+    assert all(abs(r["weight"]) >= 0.05 for r in rows)
+
+
 def test_prior_knowledge_wired(spark, inputs):
     """pk_rules prune the edge space in BOTH pc-corr and pc paths
     (reference applies prior knowledge unconditionally before every
