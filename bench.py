@@ -125,7 +125,10 @@ def run_pipeline_once(spark) -> tuple[float, int, int]:
     # storms that destroy timing stability
     wh = f"/tmp/logdag_bench_wh_{os.getpid()}"
     shutil.rmtree(wh, ignore_errors=True)
-    cat = Catalog(spark, wh)
+    # lz4 checkpoints: on local NVMe the events_ts write is CPU-bound and
+    # lz4 beats the zstd default by ~3 s at this scale (see Catalog
+    # docstring; zstd stays the default for object-store deployments)
+    cat = Catalog(spark, wh, codec="lz4")
     t0 = time.monotonic()
     res = run_pipeline(
         spark, tokens, fx.host_meta(spark), fx.template_dim(spark),

@@ -9,6 +9,10 @@
     python -m logdag_spark show-subgraphs --warehouse WH
     python -m logdag_spark show-stats-by-threshold --warehouse WH
     python -m logdag_spark update-event-label --warehouse WH
+    python -m logdag_spark plot-dag     --warehouse WH [--out DOT_DIR]
+    python -m logdag_spark add-trouble  --warehouse WH --date D --group G --title T
+    python -m logdag_spark add-lids     --warehouse WH --tid N --identifiers I...
+    python -m logdag_spark list-trouble --warehouse WH
     python -m logdag_spark dump-input   --warehouse WH --out CSV_DIR
     python -m logdag_spark lineage      --warehouse WH
     python -m logdag_spark dedup-docs   --input DOCS_PARQUET [--method exact|minhash]
@@ -25,6 +29,7 @@ locally it builds its own session.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from datetime import timedelta
 
@@ -64,6 +69,14 @@ def _common(p: argparse.ArgumentParser) -> None:
         help="ann-topk: parquet of query vectors (vec_id, embedding); "
              "defaults to the first 20 corpus vectors as a demo",
     )
+    p.add_argument("--trouble-path", default=None,
+                   help="trouble store dir (default <warehouse>/troubles)")
+    p.add_argument("--date", default=None, help="add-trouble date (yyyymmdd)")
+    p.add_argument("--group", default=None, help="add-trouble group label")
+    p.add_argument("--title", default=None, help="add-trouble title")
+    p.add_argument("--tid", type=int, default=None, help="add-lids ticket id")
+    p.add_argument("--identifiers", nargs="*", default=None,
+                   help="add-lids event identifiers")
     p.add_argument("--capacity", type=int, default=512, help="pack-docs tokens per bin")
 
 
@@ -72,7 +85,8 @@ def main(argv: list[str] | None = None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
     for cmd in (
         "make-evdb", "make-dag", "show-stats", "show-edges", "show-subgraphs",
-        "show-stats-by-threshold", "update-event-label",
+        "show-stats-by-threshold", "update-event-label", "plot-dag",
+        "add-trouble", "add-lids", "list-trouble",
         "dump-input", "lineage", "dedup-docs", "ann-topk",
         "sample-docs", "pack-docs", "vocab",
     ):
@@ -122,6 +136,29 @@ def main(argv: list[str] | None = None) -> int:
 
         comp = connected_components(cat.read("dag_edges"), cat.read("event_dim"))
         netsize_distribution(comp).show(truncate=False)
+    elif args.cmd == "plot-dag":
+        # reference __main__.py:364-378 renders via graphviz; here the
+        # DOT source itself is the artifact (render-free runtime)
+        from logdag_spark.operators.dagio import export_dot
+
+        out_dir = args.out or os.path.join(args.warehouse, "dot")
+        paths = export_dot(cat.read("dag_edges"), cat.read("event_dim"), out_dir)
+        for p in paths:
+            print(p)
+    elif args.cmd in ("add-trouble", "add-lids", "list-trouble"):
+        from logdag_spark.operators import dagio
+
+        tpath = args.trouble_path or os.path.join(args.warehouse, "troubles")
+        if args.cmd == "add-trouble":
+            if not (args.date and args.group and args.title):
+                ap.error("add-trouble needs --date --group --title")
+            print(dagio.add_trouble(tpath, args.date, args.group, args.title))
+        elif args.cmd == "add-lids":
+            if args.tid is None or not args.identifiers:
+                ap.error("add-lids needs --tid and --identifiers")
+            dagio.add_trouble_identifiers(tpath, args.tid, args.identifiers)
+        else:
+            dagio.list_troubles(spark, tpath).show(200, truncate=False)
     elif args.cmd == "show-stats-by-threshold":
         # reference __main__.py:289-297: surviving-edge totals for each
         # ate_prune threshold 0.0 .. 0.9

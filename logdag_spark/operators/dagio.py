@@ -6,7 +6,10 @@ S7  — node-link JSON export/import per unit
       here keeps the engine's (directed flag) form and expands to
       bidirectional on request for byte-parity with reference consumers.
 S10 — trouble-ticket store: one JSON object per ticket with an event
-      identifier list (/root/reference/logdag/eval/trouble.py:13-145).
+      identifier list (/root/reference/logdag/eval/trouble.py:13-145),
+      plus the CRUD surface (add-trouble / add-lids / label-trouble /
+      list-trouble, eval/__main__.py:20-60) and a render-free DOT export
+      for plot-dag (__main__.py:364-378).
 J3  — anonymize / restore: remap host names and gids through a stored
       mapping (/root/reference/logdag/source/src_amulog.py:32-42,
       /root/reference/logdag/showdag.py:145-159) — broadcast-join remaps.
@@ -135,6 +138,156 @@ def load_trouble_tickets(spark: SparkSession, path: str) -> DataFrame:
         for ident in t.get("identifiers", []):
             rows.append((str(t["tid"]).zfill(4), ident))
     return spark.createDataFrame(rows, "tid string, identifier string")
+
+
+def next_tid(path: str) -> int:
+    """Smallest unused ticket id (reference eval/trouble.py:110-117
+    scans the store directory the same way)."""
+    used = set()
+    if os.path.isdir(path):
+        for name in os.listdir(path):
+            if name.endswith(".json"):
+                try:
+                    used.add(int(os.path.splitext(name)[0]))
+                except ValueError:
+                    continue
+    tid = 0
+    while tid in used:
+        tid += 1
+    return tid
+
+
+def _trouble_path(path: str, tid: int) -> str:
+    return os.path.join(path, f"{int(tid):04d}.json")
+
+
+def add_trouble(path: str, date: str, group: str, title: str) -> int:
+    """add-trouble (reference eval/__main__.py:20-27, trouble.py:118-128):
+    create a ticket with the next free tid and empty identifier list;
+    returns the tid.  Driver-side file op by design — the store is a
+    handful of human-authored tickets, not data."""
+    os.makedirs(path, exist_ok=True)
+    tid = next_tid(path)
+    with open(_trouble_path(path, tid), "w") as f:
+        json.dump(
+            {"tid": tid, "date": date, "group": group, "title": title,
+             "identifiers": []},
+            f, sort_keys=True,
+        )
+    return tid
+
+
+def add_trouble_identifiers(path: str, tid: int, identifiers: list[str]) -> None:
+    """add-lids (reference eval/__main__.py:30-36, trouble.py:130-134):
+    append event identifiers to an existing ticket."""
+    p = _trouble_path(path, tid)
+    with open(p) as f:
+        t = json.load(f)
+    t["identifiers"] = list(t.get("identifiers", [])) + [str(i) for i in identifiers]
+    with open(p, "w") as f:
+        json.dump(t, f, sort_keys=True)
+
+
+def update_trouble(path: str, tid: int, **fields) -> None:
+    """label-trouble etc. (trouble.py:136-140): update ticket metadata."""
+    p = _trouble_path(path, tid)
+    with open(p) as f:
+        t = json.load(f)
+    t.update(fields)
+    with open(p, "w") as f:
+        json.dump(t, f, sort_keys=True)
+
+
+def list_troubles(spark: SparkSession, path: str) -> DataFrame:
+    """list-trouble: one row per ticket with its identifier count."""
+    rows = []
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(path, name)) as f:
+                t = json.load(f)
+            rows.append((
+                str(t["tid"]).zfill(4), t.get("date"), t.get("group"),
+                t.get("title"), len(t.get("identifiers", [])),
+            ))
+    return spark.createDataFrame(
+        rows, "tid string, date string, group string, title string, n_identifiers int"
+    )
+
+
+# ------------------------------------------------- plot-dag (DOT source)
+
+
+def dag_to_dot(unit: str, edges_unit: list[dict], labels: dict | None = None) -> str:
+    """Graphviz DOT source for one unit's DAG — the render-free core of
+    the reference's plot-dag (/root/reference/logdag/__main__.py:364-378
+    -> showdag.graph_nx, which relabels nodes and hands the graph to a
+    renderer; emitting the DOT text keeps the command usable without
+    graphviz/matplotlib in the runtime).  Undirected edges use dir=none
+    on a single edge statement."""
+    labels = labels or {}
+
+    def q(s) -> str:
+        return '"' + str(s).replace('"', r"\"") + '"'
+
+    lines = [f"digraph {q(unit)} {{"]
+    nodes = sorted(
+        {e["src_eid"] for e in edges_unit} | {e["dst_eid"] for e in edges_unit}
+    )
+    for n in nodes:
+        lab = labels.get(n)
+        lines.append(f"  {n} [label={q(lab)}];" if lab is not None else f"  {n};")
+    for e in sorted(
+        edges_unit, key=lambda e: (e["src_eid"], e["dst_eid"], bool(e["directed"]))
+    ):
+        attrs = []
+        if e.get("weight") is not None:
+            attrs.append(f"label={q(round(e['weight'], 3))}")
+        if not e["directed"]:
+            attrs.append("dir=none")
+        a = f" [{', '.join(attrs)}]" if attrs else ""
+        lines.append(f"  {e['src_eid']} -> {e['dst_eid']}{a};")
+    lines.append("}")
+    return "\n".join(lines) + "\n"
+
+
+def export_dot(
+    edges: DataFrame, evdim: DataFrame, out_dir: str,
+    stream_threshold: int = 10_000,
+) -> list[str]:
+    """Write one ``<unit>.dot`` per unit, labeled ``host:key`` from the
+    event dim.  Same one-job / bounded-driver shape as
+    :func:`export_node_link` (groupBy-collect per unit, toLocalIterator
+    past the threshold) — never one filter+collect job per unit."""
+    os.makedirs(out_dir, exist_ok=True)
+    e = edges.groupBy("unit").agg(
+        F.collect_list(
+            F.struct("src_eid", "dst_eid", "directed", "weight")
+        ).alias("es")
+    )
+    n = evdim.groupBy("unit").agg(
+        F.collect_list(
+            F.struct("eid", F.concat_ws(":", "host", "key").alias("label"))
+        ).alias("ls")
+    )
+    both = n.join(e, "unit", "full_outer").orderBy("unit").persist()
+    paths: list[str] = []
+    try:
+        if both.count() > stream_threshold:
+            rows = both.toLocalIterator(prefetchPartitions=True)
+        else:
+            rows = both.collect()
+        for row in rows:
+            labels = {x["eid"]: x["label"] for x in (row["ls"] or [])}
+            es = [x.asDict() for x in (row["es"] or [])]
+            p = os.path.join(out_dir, f"{row['unit']}.dot")
+            with open(p, "w") as f:
+                f.write(dag_to_dot(row["unit"], es, labels))
+            paths.append(p)
+    finally:
+        both.unpersist()
+    return paths
 
 
 # ------------------------------------------------------------------ J3

@@ -152,9 +152,12 @@ def parse_tokens_pandas(df: DataFrame, template_dim: DataFrame) -> DataFrame:
         by_len[length] = (gids, pats)
 
     @F.pandas_udf(T.IntegerType())
-    def _match(tokens: pd.Series) -> pd.Series:
+    def _match(tokens: pd.Series, n_tok: pd.Series) -> pd.Series:
         out = np.full(len(tokens), -1, dtype=np.int64)
-        lengths = tokens.map(len).to_numpy()
+        # the table already carries n_tok — a tokens.map(len) here would
+        # be one interpreted Python len() per row (~31M calls per bench
+        # run, measured ~4% of the whole parse stage)
+        lengths = n_tok.to_numpy()
         for length, (gids, pats) in by_len.items():
             sel = np.nonzero(lengths == length)[0]
             if sel.size == 0:
@@ -170,4 +173,4 @@ def parse_tokens_pandas(df: DataFrame, template_dim: DataFrame) -> DataFrame:
             out[sel[any_hit]] = gids[first[any_hit]]
         return pd.Series(out).where(pd.Series(out) >= 0).astype("Int32")
 
-    return df.withColumn("gid", _match("tokens").cast("int"))
+    return df.withColumn("gid", _match("tokens", "n_tok").cast("int"))

@@ -39,7 +39,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 64k-row Arrow batches: the parse kernel pays a fixed
+        # serialize/GIL/Series-construction cost per batch (~3100 batches
+        # per bench run at the old 10k), and the widest UDF rows here
+        # (token arrays, embeddings) are ~0.5KB -> ~32MB per batch, well
+        # inside executor memory
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")

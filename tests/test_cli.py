@@ -57,6 +57,39 @@ def test_make_dag_then_threshold_stats_and_relabel(cli_run, spark, warehouse):
     assert got and got <= known | {"snmp"}
 
 
+def test_plot_dag_and_trouble_crud(cli_run, spark, warehouse, tmp_path, capsys):
+    """plot-dag writes DOT sources; add-trouble/add-lids/list-trouble
+    round-trip the ticket store (reference eval/__main__.py:20-60).
+    Runs after the make-dag test built the module warehouse."""
+    import os
+
+    assert cli_run("plot-dag", "--warehouse", warehouse,
+                   "--out", str(tmp_path / "dot")) == 0
+    dots = sorted((tmp_path / "dot").glob("*.dot"))
+    assert dots
+    text = dots[0].read_text()
+    assert text.startswith("digraph") and "->" in text
+
+    tdir = str(tmp_path / "troubles")
+    assert cli_run("add-trouble", "--warehouse", warehouse,
+                   "--trouble-path", tdir, "--date", "20240101",
+                   "--group", "network", "--title", "link flap") == 0
+    tid = capsys.readouterr().out.strip().splitlines()[-1]
+    assert tid == "0"
+    assert cli_run("add-lids", "--warehouse", warehouse, "--trouble-path",
+                   tdir, "--tid", "0", "--identifiers", "e1", "e2") == 0
+    assert cli_run("list-trouble", "--warehouse", warehouse,
+                   "--trouble-path", tdir) == 0
+    from logdag_spark.operators.dagio import list_troubles, load_trouble_tickets
+
+    listed = {r["tid"]: r["n_identifiers"] for r in list_troubles(spark, tdir).collect()}
+    assert listed == {"0000": 2}
+    # the store written by the CRUD surface is readable by the S10 loader
+    loaded = {(r["tid"], r["identifier"]) for r in load_trouble_tickets(spark, tdir).collect()}
+    assert loaded == {("0000", "e1"), ("0000", "e2")}
+    assert os.path.exists(os.path.join(tdir, "0000.json"))
+
+
 def test_ann_topk_with_query_file(cli_run, spark, tmp_path):
     emb = "/root/testdata/sf0.001/embeddings.parquet"
     qpath = str(tmp_path / "queries.parquet")

@@ -186,6 +186,13 @@ def test_checkpoint_resume(spark, inputs, tmp_path):
     metrics = {r["stage"]: r["rows"] for r in cat.stage_metrics().collect()}
     assert metrics["events_ts"] == labeled.count()
     assert metrics["dag_edges"] == n_edges
+    # per-partition lineage (north rule): the partitioned events_ts
+    # checkpoint records footer-derived rows per (measure, day) dir that
+    # reconcile with the stage total, with no extra Spark job
+    pm = cat.partition_metrics().where(F.col("table") == "events_ts").collect()
+    assert pm and all(r["partition"].startswith("measure=") for r in pm)
+    assert sum(r["rows"] for r in pm) == labeled.count()
+    assert all(r["bytes"] > 0 and r["files"] >= 1 for r in pm)
 
 
 def test_catalog_partial_write_not_resumable(spark, tmp_path):
