@@ -176,3 +176,40 @@ def test_lingam_corr_edges_distributed(spark):
         ).collect()
     }
     assert got2 == {(0, 1), (1, 2)}
+
+
+def test_lingam_corr_pair_parallelism_parity(spark):
+    """parallelism='pair' (grouping key = (unit, eid1, eid2), each wide
+    unit fans across the cluster) must produce exactly the 'unit' kernel's
+    edges, including under a noedge constraint."""
+    from datetime import datetime, timedelta, timezone
+
+    from logdag_spark.pipeline.lingam import lingam_corr_edges
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    X = _sem(n=720, seed=13) + 2.0
+    rows = []
+    for eid in range(3):
+        for b in range(720):
+            v = float(X[b, eid])
+            if v != 0:
+                rows.append(("u1", eid, t0 + timedelta(minutes=b), v))
+    mdf = spark.createDataFrame(rows, "unit string, eid long, bin timestamp, cnt double")
+    ne = spark.createDataFrame([("u1", 2, 0)], "unit string, eid1 long, eid2 long")
+
+    def edge_set(par):
+        return {
+            (r["unit"], r["src_eid"], r["dst_eid"], round(r["weight"], 9))
+            for r in lingam_corr_edges(
+                mdf, {"u1": (t0, 720)}, timedelta(minutes=1),
+                noedge=ne, parallelism=par,
+            ).collect()
+        }
+
+    unit_edges = edge_set("unit")
+    pair_edges = edge_set("pair")
+    assert unit_edges == pair_edges
+    assert unit_edges  # non-trivial
+    assert not any(
+        {(s, d)} <= {(0, 2), (2, 0)} for _, s, d, _w in unit_edges
+    )  # noedge honored (either orientation)
