@@ -93,6 +93,25 @@ def main(argv: list[str] | None = None) -> int:
         _common(sub.add_parser(cmd))
     args = ap.parse_args(argv)
 
+    # pure file-side ticket CRUD: no reason to pay a JVM session launch
+    # for a command that appends a few bytes of JSON
+    if args.cmd in ("add-trouble", "add-lids"):
+        from logdag_spark.operators import dagio
+
+        tpath = args.trouble_path or os.path.join(args.warehouse, "troubles")
+        if args.cmd == "add-trouble":
+            if not (args.date and args.group and args.title):
+                ap.error("add-trouble needs --date --group --title")
+            print(dagio.add_trouble(tpath, args.date, args.group, args.title))
+        else:
+            if args.tid is None or not args.identifiers:
+                ap.error("add-lids needs --tid and --identifiers")
+            try:
+                dagio.add_trouble_identifiers(tpath, args.tid, args.identifiers)
+            except FileNotFoundError:
+                ap.error(f"no trouble ticket {args.tid} in {tpath}")
+        return 0
+
     spark = get_spark(app_name=f"logdag_{args.cmd}", cores=args.cores)
     from logdag_spark import fixtures as fx
     from logdag_spark.fixtures.generator import DEFAULT_T0
@@ -145,20 +164,11 @@ def main(argv: list[str] | None = None) -> int:
         paths = export_dot(cat.read("dag_edges"), cat.read("event_dim"), out_dir)
         for p in paths:
             print(p)
-    elif args.cmd in ("add-trouble", "add-lids", "list-trouble"):
+    elif args.cmd == "list-trouble":
         from logdag_spark.operators import dagio
 
         tpath = args.trouble_path or os.path.join(args.warehouse, "troubles")
-        if args.cmd == "add-trouble":
-            if not (args.date and args.group and args.title):
-                ap.error("add-trouble needs --date --group --title")
-            print(dagio.add_trouble(tpath, args.date, args.group, args.title))
-        elif args.cmd == "add-lids":
-            if args.tid is None or not args.identifiers:
-                ap.error("add-lids needs --tid and --identifiers")
-            dagio.add_trouble_identifiers(tpath, args.tid, args.identifiers)
-        else:
-            dagio.list_troubles(spark, tpath).show(200, truncate=False)
+        dagio.list_troubles(spark, tpath).show(200, truncate=False)
     elif args.cmd == "show-stats-by-threshold":
         # reference __main__.py:289-297: surviving-edge totals for each
         # ate_prune threshold 0.0 .. 0.9
@@ -216,19 +226,27 @@ def main(argv: list[str] | None = None) -> int:
 
         emb = spark.read.parquet(args.input)
         dim = len(emb.select("embedding").first()["embedding"])
-        q = (
-            spark.read.parquet(args.queries)
-            if args.queries
-            else emb.where(F.col("vec_id") < 20)
-        )
+        if args.queries:
+            q = spark.read.parquet(args.queries)
+            qdim = len(q.select("embedding").first()["embedding"])
+            if qdim != dim:
+                ap.error(
+                    f"query dim {qdim} != corpus dim {dim} "
+                    f"({args.queries} vs {args.input})"
+                )
+        else:
+            q = emb.where(F.col("vec_id") < 20)
+        # external query files have their own id space: an id collision
+        # with a corpus vec_id must NOT drop that corpus neighbor
+        excl = args.queries is None
         method = args.method or "ivf"
         k = args.k if args.k is not None else 10
         if method == "ivf":
-            out = similarity.ivf_topk(emb, q, dim=dim, k=k)
+            out = similarity.ivf_topk(emb, q, dim=dim, k=k, exclude_self=excl)
         elif method == "lsh":
-            out = similarity.lsh_topk(emb, q, dim=dim, k=k)
+            out = similarity.lsh_topk(emb, q, dim=dim, k=k, exclude_self=excl)
         elif method == "brute":
-            out = similarity.brute_force_topk(emb, q, k=k)
+            out = similarity.brute_force_topk(emb, q, k=k, exclude_self=excl)
         else:
             ap.error(f"ann-topk --method must be ivf|lsh|brute, got {method!r}")
         out.orderBy("query_id", "rank").show(100, truncate=False)

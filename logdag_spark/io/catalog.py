@@ -189,8 +189,18 @@ class Catalog:
     def partition_metrics(self) -> DataFrame:
         """Per-partition lineage rows: (stage, table, partition, files,
         bytes, rows) — the north-rule "per-partition lineage and
-        metrics" surface, queryable like any table."""
-        return self.lineage().select(
+        metrics" surface, queryable like any table.  Lineage written
+        before this field existed simply contributes no rows (inferred
+        schema has no ``partitions`` column — explode would fail to
+        resolve, not return empty)."""
+        lin = self.lineage()
+        if "partitions" not in lin.columns:
+            return self.spark.createDataFrame(
+                [],
+                "stage string, table string, partition string, "
+                "files long, bytes long, rows long",
+            )
+        return lin.select(
             "stage", "table", F.explode("partitions").alias("p")
         ).select(
             "stage", "table", F.col("p.partition").alias("partition"),

@@ -179,8 +179,12 @@ def add_trouble(path: str, date: str, group: str, title: str) -> int:
 
 def add_trouble_identifiers(path: str, tid: int, identifiers: list[str]) -> None:
     """add-lids (reference eval/__main__.py:30-36, trouble.py:130-134):
-    append event identifiers to an existing ticket."""
+    append event identifiers to an existing ticket; raises
+    FileNotFoundError naming the missing ticket (not its internal
+    zero-padded path)."""
     p = _trouble_path(path, tid)
+    if not os.path.exists(p):
+        raise FileNotFoundError(f"no trouble ticket {tid} in {path}")
     with open(p) as f:
         t = json.load(f)
     t["identifiers"] = list(t.get("identifiers", [])) + [str(i) for i in identifiers]
@@ -191,6 +195,8 @@ def add_trouble_identifiers(path: str, tid: int, identifiers: list[str]) -> None
 def update_trouble(path: str, tid: int, **fields) -> None:
     """label-trouble etc. (trouble.py:136-140): update ticket metadata."""
     p = _trouble_path(path, tid)
+    if not os.path.exists(p):
+        raise FileNotFoundError(f"no trouble ticket {tid} in {path}")
     with open(p) as f:
         t = json.load(f)
     t.update(fields)
@@ -225,7 +231,9 @@ def dag_to_dot(unit: str, edges_unit: list[dict], labels: dict | None = None) ->
     -> showdag.graph_nx, which relabels nodes and hands the graph to a
     renderer; emitting the DOT text keeps the command usable without
     graphviz/matplotlib in the runtime).  Undirected edges use dir=none
-    on a single edge statement."""
+    on a single edge statement.  The node set is labels ∪ edge endpoints:
+    the reference renders every event in the evmap, so isolated events
+    (and edge-less units) must still appear as nodes."""
     labels = labels or {}
 
     def q(s) -> str:
@@ -233,7 +241,9 @@ def dag_to_dot(unit: str, edges_unit: list[dict], labels: dict | None = None) ->
 
     lines = [f"digraph {q(unit)} {{"]
     nodes = sorted(
-        {e["src_eid"] for e in edges_unit} | {e["dst_eid"] for e in edges_unit}
+        set(labels)
+        | {e["src_eid"] for e in edges_unit}
+        | {e["dst_eid"] for e in edges_unit}
     )
     for n in nodes:
         lab = labels.get(n)

@@ -215,7 +215,13 @@ def minhash_dedup(
     does not near-dup any smaller-id content.
     """
     keyed = df.select(F.col(id_col).alias("_id"), F.xxhash64(F.col(col)).alias("_ch"))
-    groups = keyed.groupBy("_ch").agg(F.min("_id").alias("_rep"))
+    # persisted because it feeds BOTH the representative semi-join and the
+    # final keep-set anti-join (one row per distinct content, disk-spilling;
+    # recomputation would re-scan and re-aggregate the corpus — same
+    # rationale as the banded-frame persist in minhash_lsh_candidates)
+    groups = keyed.groupBy("_ch").agg(F.min("_id").alias("_rep")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     reps = df.join(
         groups.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
     )

@@ -65,12 +65,16 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query.
 
     ``broadcast(queries) x corpus`` -> per-query row_number over score: the
     corpus is scanned once, the only shuffle is the per-query top-k (a
-    partial top-k per partition under AQE).  Self-matches excluded.
+    partial top-k per partition under AQE).  ``exclude_self`` drops the
+    id-equal pair — correct when the queries ARE corpus rows; it MUST be
+    False for an external query set, whose ids are unrelated to corpus
+    ids (an id collision would silently drop a legitimate neighbor).
     Norms are materialized once per side BEFORE the join — computing
     ``cosine(q, c)`` per pair would redo each corpus norm |Q| times and
     each query norm |C| times (3 array aggregates per pair instead of 1).
@@ -87,7 +91,10 @@ def brute_force_topk(
     denom = F.col("_qn") * F.col("_cn")
     scored = (
         c.crossJoin(F.broadcast(q))
-        .where(F.col("query_id") != F.col("neighbor_id"))
+        .where(
+            F.lit(not exclude_self)
+            | (F.col("query_id") != F.col("neighbor_id"))
+        )
         .select(
             "query_id",
             "neighbor_id",
@@ -190,12 +197,14 @@ def lsh_topk(
     vec_col: str = "embedding",
     n_planes: int = 12,
     n_tables: int = 3,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates = signature-bucket collisions in any
     of ``n_tables`` independent hyperplane tables, then exact cosine rank.
 
     At corpus scale the bucket join replaces the O(N·Q) scan with
-    O(collisions); recall is tunable via planes/tables.
+    O(collisions); recall is tunable via planes/tables.  ``exclude_self``
+    as in :func:`brute_force_topk` — False for external query sets.
     """
     def with_sig(d: DataFrame, idn: str) -> DataFrame:
         # norm computed BEFORE the n_tables explode — after it, the
@@ -226,7 +235,10 @@ def lsh_topk(
     denom = F.col("_query_id_n") * F.col("_neighbor_id_n")
     cand = (
         qs.join(cs, ["table", "sig"])
-        .where(F.col("query_id") != F.col("neighbor_id"))
+        .where(
+            F.lit(not exclude_self)
+            | (F.col("query_id") != F.col("neighbor_id"))
+        )
         .select(
             "query_id",
             "neighbor_id",
@@ -356,8 +368,11 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 11,
+    exclude_self: bool = True,
 ) -> DataFrame:
-    """IVF approximate top-k: spherical-kmeans partition of the corpus,
+    """IVF approximate top-k (``exclude_self`` as in
+    :func:`brute_force_topk` — False for external query sets):
+    spherical-kmeans partition of the corpus,
     queries probe their ``n_probe`` nearest cells, exact cosine rank on
     the probed candidates only.
 
@@ -381,7 +396,10 @@ def ivf_topk(
     denom = F.col("_qn") * F.col("_cn")
     cand = (
         qs.join(corpus, "cluster")
-        .where(F.col("query_id") != F.col("neighbor_id"))
+        .where(
+            F.lit(not exclude_self)
+            | (F.col("query_id") != F.col("neighbor_id"))
+        )
         .select(
             "query_id",
             "neighbor_id",

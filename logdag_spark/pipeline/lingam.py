@@ -224,43 +224,58 @@ def _diag_row_assignment(W: np.ndarray) -> list[int]:
 
 def _order_from_triangularity(B: np.ndarray) -> list[int]:
     """Variable order making B as strictly-lower-triangular as possible:
-    zero the p(p+1)/2 smallest |B| entries, test for a zero-row peel
-    order, and keep zeroing the next-smallest entry until one exists
-    (Shimizu et al. JMLR 2006, step 4 of ICA-LiNGAM)."""
+    zero the smallest |B| entries until a zero-row peel order exists
+    (Shimizu et al. JMLR 2006, step 4 of ICA-LiNGAM).
+
+    Peelability is MONOTONE in the number of zeroed entries (zeroing an
+    edge can only make the remaining digraph easier to topologically
+    peel), so instead of re-peeling after every single zeroing — O(p²)
+    peels × O(p³) each on a dense noisy B, the shape that hung a wide
+    unit — the threshold count is found by binary search over
+    [p(p+1)/2, p²]: O(log p) peels, each a vectorized O(p²)."""
     p = B.shape[0]
     mags = np.abs(B).copy()
     np.fill_diagonal(mags, 0.0)
     flat = np.argsort(mags, axis=None)
-    Bz = mags.copy()
-    m = p * (p + 1) // 2
-    Bz[np.unravel_index(flat[:m], Bz.shape)] = 0.0
-    k = m
-    while True:
-        order = _peel_zero_rows(Bz)
-        if order is not None:
-            return order
-        if k >= p * p:
-            return list(range(p))  # fully zeroed: any order is triangular
-        Bz[np.unravel_index(flat[k], Bz.shape)] = 0.0
-        k += 1
+
+    def peel_at(k: int) -> list[int] | None:
+        Bz = mags.copy()
+        Bz[np.unravel_index(flat[:k], Bz.shape)] = 0.0
+        return _peel_zero_rows(Bz)
+
+    lo, hi = p * (p + 1) // 2, p * p
+    best = peel_at(lo)
+    if best is not None:
+        return best
+    # invariant: peel_at(hi) always succeeds (fully zeroed = empty graph)
+    while hi - lo > 1:
+        mid = (lo + hi) // 2
+        got = peel_at(mid)
+        if got is None:
+            lo = mid
+        else:
+            hi, best = mid, got
+    return best if best is not None else peel_at(hi)
 
 
 def _peel_zero_rows(Bz: np.ndarray) -> list[int] | None:
     """If Bz can be permuted to strictly lower triangular, return the
-    peel order (repeatedly extract a row with no remaining parents)."""
+    peel order (repeatedly extract a row with no remaining parents).
+    Vectorized: per-row counts of nonzero remaining parents, decremented
+    column-wise as rows peel — O(p²) total."""
     p = Bz.shape[0]
-    remaining = list(range(p))
+    nz = Bz != 0.0
+    counts = nz.sum(axis=1)  # parents per row (diagonal already zero)
+    alive = np.ones(p, dtype=bool)
     order: list[int] = []
-    while remaining:
-        found = None
-        for i in remaining:
-            if all(Bz[i, j] == 0.0 for j in remaining if j != i):
-                found = i
-                break
-        if found is None:
+    for _ in range(p):
+        ready = np.nonzero(alive & (counts == 0))[0]
+        if ready.size == 0:
             return None
-        order.append(found)
-        remaining.remove(found)
+        i = int(ready[0])  # smallest index first: deterministic
+        order.append(i)
+        alive[i] = False
+        counts -= nz[:, i]  # column i no longer counts as a parent
     return order
 
 
@@ -268,8 +283,8 @@ def ica_causal_order(X: np.ndarray, max_iter: int = 1000, seed: int = 0) -> list
     """ICA-LiNGAM ordering (Shimizu et al., JMLR 2006): estimate the
     unmixing W by FastICA, permute rows to a nonzero dominant diagonal,
     scale rows to unit diagonal, read B = I - W', then find the variable
-    order closest to strictly lower triangular by incremental
-    smallest-entry zeroing."""
+    order closest to strictly lower triangular by binary search on the
+    smallest-entry zeroing threshold."""
     p = X.shape[1]
     W = fastica_unmixing(X, max_iter=max_iter, seed=seed)
     rperm = _diag_row_assignment(W)

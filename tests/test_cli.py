@@ -90,11 +90,35 @@ def test_plot_dag_and_trouble_crud(cli_run, spark, warehouse, tmp_path, capsys):
     assert os.path.exists(os.path.join(tdir, "0000.json"))
 
 
-def test_ann_topk_with_query_file(cli_run, spark, tmp_path):
-    emb = "/root/testdata/sf0.001/embeddings.parquet"
+def test_ann_topk_with_query_file(cli_run, spark, sf001_dir, tmp_path):
+    emb = f"{sf001_dir}/embeddings.parquet"
     qpath = str(tmp_path / "queries.parquet")
     spark.read.parquet(emb).limit(5).write.parquet(qpath)
     assert cli_run(
         "ann-topk", "--input", emb, "--queries", qpath,
         "--method", "brute", "--k", "3",
     ) == 0
+
+
+def test_external_queries_keep_id_colliding_neighbors(spark, sf001_dir):
+    """An external query file's ids are unrelated to corpus ids: a
+    collision must NOT drop that corpus vector from the neighbor set
+    (exclude_self=False), while the corpus-subset demo still drops its
+    true self-match."""
+    from pyspark.sql import functions as F
+
+    from logdag_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf001_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 3)  # pretend it's an external file
+    with_self = similarity.brute_force_topk(emb, q, k=5, exclude_self=False)
+    neighbors = {r["neighbor_id"] for r in with_self.collect()}
+    # the identical vector is its own best neighbor at cosine 1.0
+    assert 3 in neighbors
+    top1 = with_self.where(F.col("rank") == 1).first()
+    assert top1["neighbor_id"] == 3 and abs(top1["score"] - 1.0) < 1e-9
+    without = {
+        r["neighbor_id"]
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    }
+    assert 3 not in without
