@@ -10,6 +10,7 @@
     python -m logdag_spark show-stats-by-threshold --warehouse WH
     python -m logdag_spark update-event-label --warehouse WH
     python -m logdag_spark plot-dag     --warehouse WH [--out DOT_DIR]
+    python -m logdag_spark plot-node-ts --warehouse WH --node-ids N... [--out CSV]
     python -m logdag_spark add-trouble  --warehouse WH --date D --group G --title T
     python -m logdag_spark add-lids     --warehouse WH --tid N --identifiers I...
     python -m logdag_spark list-trouble --warehouse WH
@@ -75,6 +76,8 @@ def _common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--group", default=None, help="add-trouble group label")
     p.add_argument("--title", default=None, help="add-trouble title")
     p.add_argument("--tid", type=int, default=None, help="add-lids ticket id")
+    p.add_argument("--node-ids", nargs="*", type=int, default=None,
+                   help="plot-node-ts event ids (eids)")
     p.add_argument("--identifiers", nargs="*", default=None,
                    help="add-lids event identifiers")
     p.add_argument("--capacity", type=int, default=512, help="pack-docs tokens per bin")
@@ -86,7 +89,7 @@ def main(argv: list[str] | None = None) -> int:
     for cmd in (
         "make-evdb", "make-dag", "show-stats", "show-edges", "show-subgraphs",
         "show-stats-by-threshold", "update-event-label", "plot-dag",
-        "add-trouble", "add-lids", "list-trouble",
+        "plot-node-ts", "add-trouble", "add-lids", "list-trouble",
         "dump-input", "lineage", "dedup-docs", "ann-topk",
         "sample-docs", "pack-docs", "vocab",
     ):
@@ -164,6 +167,23 @@ def main(argv: list[str] | None = None) -> int:
         paths = export_dot(cat.read("dag_edges"), cat.read("event_dim"), out_dir)
         for p in paths:
             print(p)
+    elif args.cmd == "plot-node-ts":
+        # reference __main__.py:381-390 renders the node series via
+        # matplotlib; the series data itself is the render-free artifact
+        from pyspark.sql import functions as F
+
+        if not args.node_ids:
+            ap.error("plot-node-ts needs --node-ids")
+        ts = (
+            cat.read("unit_matrix")
+            .where(F.col("eid").isin(args.node_ids))
+            .orderBy("unit", "eid", "bin")
+        )
+        if args.out:
+            ts.write.mode("overwrite").option("header", "true").csv(args.out)
+            print(f"wrote {args.out}")
+        else:
+            ts.show(200, truncate=False)
     elif args.cmd == "list-trouble":
         from logdag_spark.operators import dagio
 

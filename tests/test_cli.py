@@ -70,6 +70,17 @@ def test_plot_dag_and_trouble_crud(cli_run, spark, warehouse, tmp_path, capsys):
     text = dots[0].read_text()
     assert text.startswith("digraph") and "->" in text
 
+    # plot-node-ts exports the selected nodes' binned series as CSV
+    assert cli_run("plot-node-ts", "--warehouse", warehouse,
+                   "--node-ids", "0", "1",
+                   "--out", str(tmp_path / "ts_csv")) == 0
+    import glob as _glob
+
+    csvs = _glob.glob(str(tmp_path / "ts_csv" / "*.csv"))
+    assert csvs
+    header = open(csvs[0]).readline().strip().split(",")
+    assert {"unit", "eid", "bin", "cnt"} <= set(header)
+
     tdir = str(tmp_path / "troubles")
     assert cli_run("add-trouble", "--warehouse", warehouse,
                    "--trouble-path", tdir, "--date", "20240101",
