@@ -159,3 +159,42 @@ def test_host_rules_prune_below_cooccurrence_aggregate(spark):
     assert plan.index("_host_ok") > plan.index("AS sxy"), (
         "host allow filter must be pushed below the cross-term aggregate"
     )
+
+
+def test_pack_sequences_window_partitions_on_shard(spark):
+    """The packing window's partition spec must include the hash shard —
+    a source-only spec funnels each source's whole corpus slice through
+    one window task (the round-3 scale-killer)."""
+    from logdag_spark.operators.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "s", "a b c") for i in range(20)],
+        "doc_id long, source string, text string",
+    )
+    plan = _plan(pack_sequences(df, capacity=8, num_shards=8))
+    spec = plan.lower()
+    assert "windowspecdefinition(source" in spec
+    assert "pack_shard" in spec.split("windowspecdefinition(source", 1)[1][:80]
+
+
+def test_lingam_corr_pair_fanout_is_equi_join(spark):
+    """The pair fan-out must be an equi-join on (unit, eid) — an
+    OR-condition membership join degrades to a unit-keyed join with a
+    post-filter: |rows| × |pairs-per-unit| intermediate."""
+    from datetime import datetime, timezone
+
+    from logdag_spark.pipeline.lingam import lingam_corr_edges
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        ("u1", e, t0 + timedelta(minutes=b), float(1 + (b * (e + 1)) % 5))
+        for e in range(3) for b in range(30)
+    ]
+    mdf = spark.createDataFrame(
+        rows, "unit string, eid long, bin timestamp, cnt double"
+    )
+    edges = lingam_corr_edges(
+        mdf, {"u1": (t0, 30)}, timedelta(minutes=1), parallelism="pair"
+    )
+    plan = _plan(edges)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
