@@ -1610,6 +1610,102 @@ ORDER BY 1, 2
 """
 
 
+def q_stream_burst_monitor(spark, sf_dir):
+    """§2.10 custom STATEFUL streaming operator, oracle-checked: the
+    events table as a bounded availableNow stream through
+    ``stateful_series_monitor`` (applyInPandasWithState — per-series
+    running-mean state, event-time timeout).  For a static input the
+    emission set is exactly the 1-minute bins the final watermark closed
+    (``bin end <= max(ts) - 10min``), each scored against the running
+    mean of that series' PRIOR closed bins in event-time order — which a
+    plain SQL window over the watermark-cut bins states exactly.  So the
+    stateful kernel's whole visible contract (which bins emit, the
+    running mean each saw, the alert decision) is DuckDB-checked, not
+    just pytest-asserted."""
+    import os
+    import tempfile
+    import uuid
+
+    from logdag_spark.streaming.ingest import stateful_series_monitor
+
+    name = f"stream_burst_{uuid.uuid4().hex[:8]}"
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = tempfile.mkdtemp(prefix="stream_burst_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(schema).parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select(
+            F.col("event_type").alias("measure"),
+            F.lit("h").alias("host"),
+            F.col("event_type").alias("key"),
+            "ts",
+            F.lit(1.0).alias("val"),
+        )
+    )
+    alerts = stateful_series_monitor(stream, threshold=2.0)
+    ck_dir = tempfile.mkdtemp(prefix="ck_burst_")
+    q = (
+        alerts.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("availableNow stream did not finish in 300s")
+        rows = (
+            spark.table(name)
+            .select(
+                "key",
+                (F.unix_millis("bin") / 1000).cast("bigint").alias("bin_s"),
+                F.col("cnt").cast("bigint").alias("cnt"),
+                F.round("mean_before", 6).alias("mean_before"),
+                "alert",
+            )
+            .collect()
+        )
+    finally:
+        import shutil
+
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(ck_dir, ignore_errors=True)
+        shutil.rmtree(src_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "key string, bin_s bigint, cnt bigint, mean_before double, alert boolean"
+    ).orderBy("key", "bin_s")
+
+
+SQL_STREAM_BURST = """
+WITH mx AS (SELECT max(epoch_ms(ts)) AS m FROM events),
+b AS (
+  SELECT event_type AS key, (epoch_ms(ts) // 60000) * 60 AS bin_s,
+         count(*)::double AS cnt
+  FROM events GROUP BY 1, 2
+),
+closed AS (
+  SELECT b.* FROM b, mx WHERE (b.bin_s + 60) * 1000 <= mx.m - 600000
+),
+w AS (
+  SELECT key, bin_s, cnt,
+         count(*) OVER (PARTITION BY key ORDER BY bin_s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS nprior,
+         avg(cnt) OVER (PARTITION BY key ORDER BY bin_s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_mean
+  FROM closed
+)
+SELECT key, bin_s::bigint AS bin_s, cnt::bigint AS cnt,
+       round(coalesce(prior_mean, cnt), 6) AS mean_before,
+       (nprior > 0 AND cnt > 2.0 * prior_mean) AS alert
+FROM w ORDER BY key, bin_s
+"""
+
+
 def q_flagship_dag(spark, sf_dir):
     """The flagship tokens->DAG pipeline on the deterministic synthetic
     corpus (the driver tables carry no token arrays; BASELINE.json's input
@@ -2572,6 +2668,7 @@ QUERIES = {
     "lingam_corr_daily": (q_lingam_corr_daily, SQL_LINGAM_CORR),
     "near_dup_groups": (q_near_dup_groups, SQL_NEAR_DUP_GROUPS),
     "stream_event_counts": (q_stream_event_counts, SQL_STREAM_COUNTS),
+    "stream_burst_monitor": (q_stream_burst_monitor, SQL_STREAM_BURST),
     "sample_split": (q_sample_split, SQL_SAMPLE_SPLIT),
     "stratified_sample_docs": (q_stratified_sample_docs, SQL_STRATIFIED_SAMPLE),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
