@@ -1681,6 +1681,63 @@ def q_stream_burst_monitor(spark, sf_dir):
     ).orderBy("key", "bin_s")
 
 
+def q_stream_content_dedup(spark, sf_dir):
+    """§2.10 streaming content dedup, oracle-checked: the events table as
+    a bounded availableNow stream through ``streaming_content_dedup``
+    (``dropDuplicatesWithinWatermark`` keyed on the content hash — state
+    bounded by arrival rate × horizon).  Emission is one row per DISTINCT
+    content; WHICH physical row represents a content group is a batch
+    scheduling artifact, so the entry projects the content columns
+    themselves and the oracle is a plain SELECT DISTINCT."""
+    import os
+    import tempfile
+    import uuid
+
+    from logdag_spark.streaming.ingest import streaming_content_dedup
+
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = tempfile.mkdtemp(prefix="stream_dedup_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(schema).parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("content", F.concat_ws("|", "event_type", "props"))
+    )
+    deduped = streaming_content_dedup(stream, text_col="content")
+    ck_dir = tempfile.mkdtemp(prefix="ck_dedup_")
+    q = (
+        deduped.select("event_type", "props")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("availableNow stream did not finish in 300s")
+        rows = spark.table(name).collect()
+    finally:
+        import shutil
+
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(ck_dir, ignore_errors=True)
+        shutil.rmtree(src_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, props string"
+    ).orderBy("event_type", "props")
+
+
+SQL_STREAM_DEDUP = """
+SELECT DISTINCT event_type, props FROM events ORDER BY 1, 2
+"""
+
+
 SQL_STREAM_BURST = """
 WITH mx AS (SELECT max(epoch_ms(ts)) AS m FROM events),
 b AS (
@@ -2669,6 +2726,7 @@ QUERIES = {
     "near_dup_groups": (q_near_dup_groups, SQL_NEAR_DUP_GROUPS),
     "stream_event_counts": (q_stream_event_counts, SQL_STREAM_COUNTS),
     "stream_burst_monitor": (q_stream_burst_monitor, SQL_STREAM_BURST),
+    "stream_content_dedup": (q_stream_content_dedup, SQL_STREAM_DEDUP),
     "sample_split": (q_sample_split, SQL_SAMPLE_SPLIT),
     "stratified_sample_docs": (q_stratified_sample_docs, SQL_STRATIFIED_SAMPLE),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
