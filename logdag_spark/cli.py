@@ -78,6 +78,12 @@ def _common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--tid", type=int, default=None, help="add-lids ticket id")
     p.add_argument("--node-ids", nargs="*", type=int, default=None,
                    help="plot-node-ts event ids (eids)")
+    p.add_argument(
+        "--iceberg-catalog", default=None,
+        help="name of a configured Iceberg Spark SQL catalog; checkpoints "
+             "become Iceberg tables <name>.logdag.<table> (requires the "
+             "iceberg-spark-runtime jar, e.g. via spark-submit --packages)",
+    )
     p.add_argument("--identifiers", nargs="*", default=None,
                    help="add-lids event identifiers")
     p.add_argument("--capacity", type=int, default=512, help="pack-docs tokens per bin")
@@ -120,7 +126,7 @@ def main(argv: list[str] | None = None) -> int:
     from logdag_spark.fixtures.generator import DEFAULT_T0
     from logdag_spark.io.catalog import Catalog
 
-    cat = Catalog(spark, args.warehouse)
+    cat = Catalog(spark, args.warehouse, iceberg_catalog=args.iceberg_catalog)
     cfg = PipelineConfig(
         cause_algorithm=args.algorithm, ci_func=args.ci_func,
         ci_bin_size=args.bin_size, warehouse=args.warehouse,

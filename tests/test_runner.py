@@ -195,6 +195,23 @@ def test_checkpoint_resume(spark, inputs, tmp_path):
     assert all(r["bytes"] > 0 and r["files"] >= 1 for r in pm)
 
 
+def test_catalog_iceberg_backend_selection(spark, tmp_path):
+    """Requesting the Iceberg backend without its runtime must fail
+    LOUDLY (a silent parquet fallback would leave a cluster operator
+    believing they have snapshot isolation they don't); the default
+    parquet backend stays selected otherwise."""
+    from logdag_spark.io.catalog import Catalog, _iceberg_available
+
+    if _iceberg_available(spark):
+        # cluster image with the runtime jars: the branch is live
+        cat = Catalog(spark, str(tmp_path / "wh"), iceberg_catalog="local")
+        assert cat.use_iceberg
+    else:
+        with pytest.raises(RuntimeError, match="Iceberg runtime"):
+            Catalog(spark, str(tmp_path / "wh"), iceberg_catalog="local")
+        assert not Catalog(spark, str(tmp_path / "wh")).use_iceberg
+
+
 def test_catalog_partial_write_not_resumable(spark, tmp_path):
     """A directory with part-files but no commit marker must be treated
     as absent (crashed write) — read_or_run rewrites it (ADVICE r1)."""
