@@ -13,6 +13,7 @@
     python -m logdag_spark plot-node-ts --warehouse WH --node-ids N... [--out CSV]
     python -m logdag_spark add-trouble  --warehouse WH --date D --group G --title T
     python -m logdag_spark add-lids     --warehouse WH --tid N --identifiers I...
+    python -m logdag_spark label-trouble --warehouse WH --tid N --group G
     python -m logdag_spark list-trouble --warehouse WH
     python -m logdag_spark dump-input   --warehouse WH --out CSV_DIR
     python -m logdag_spark lineage      --warehouse WH
@@ -95,7 +96,8 @@ def main(argv: list[str] | None = None) -> int:
     for cmd in (
         "make-evdb", "make-dag", "show-stats", "show-edges", "show-subgraphs",
         "show-stats-by-threshold", "update-event-label", "plot-dag",
-        "plot-node-ts", "add-trouble", "add-lids", "list-trouble",
+        "plot-node-ts", "add-trouble", "add-lids", "label-trouble",
+        "list-trouble",
         "dump-input", "lineage", "dedup-docs", "ann-topk",
         "sample-docs", "pack-docs", "vocab",
     ):
@@ -104,7 +106,7 @@ def main(argv: list[str] | None = None) -> int:
 
     # pure file-side ticket CRUD: no reason to pay a JVM session launch
     # for a command that appends a few bytes of JSON
-    if args.cmd in ("add-trouble", "add-lids"):
+    if args.cmd in ("add-trouble", "add-lids", "label-trouble"):
         from logdag_spark.operators import dagio
 
         tpath = args.trouble_path or os.path.join(args.warehouse, "troubles")
@@ -112,11 +114,19 @@ def main(argv: list[str] | None = None) -> int:
             if not (args.date and args.group and args.title):
                 ap.error("add-trouble needs --date --group --title")
             print(dagio.add_trouble(tpath, args.date, args.group, args.title))
-        else:
+        elif args.cmd == "add-lids":
             if args.tid is None or not args.identifiers:
                 ap.error("add-lids needs --tid and --identifiers")
             try:
                 dagio.add_trouble_identifiers(tpath, args.tid, args.identifiers)
+            except FileNotFoundError:
+                ap.error(f"no trouble ticket {args.tid} in {tpath}")
+        else:
+            # reference eval/__main__.py:49-55: relabel a ticket's group
+            if args.tid is None or not args.group:
+                ap.error("label-trouble needs --tid and --group")
+            try:
+                dagio.update_trouble(tpath, args.tid, group=args.group)
             except FileNotFoundError:
                 ap.error(f"no trouble ticket {args.tid} in {tpath}")
         return 0

@@ -89,6 +89,12 @@ def test_plot_dag_and_trouble_crud(cli_run, spark, warehouse, tmp_path, capsys):
     assert tid == "0"
     assert cli_run("add-lids", "--warehouse", warehouse, "--trouble-path",
                    tdir, "--tid", "0", "--identifiers", "e1", "e2") == 0
+    assert cli_run("label-trouble", "--warehouse", warehouse,
+                   "--trouble-path", tdir, "--tid", "0",
+                   "--group", "system") == 0
+    import json as _json
+
+    assert _json.load(open(f"{tdir}/0000.json"))["group"] == "system"
     assert cli_run("list-trouble", "--warehouse", warehouse,
                    "--trouble-path", tdir) == 0
     from logdag_spark.operators.dagio import list_troubles, load_trouble_tickets
