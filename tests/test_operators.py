@@ -92,6 +92,18 @@ def test_minhash_dedup_heavy_identical_cluster(spark):
     assert kept == {0} | {100 + i for i in range(10)}
 
 
+def test_minhash_dedup_empty_identical_docs(spark):
+    """Byte-identical EMPTY documents collapse through the exact-content
+    stage (their shingle Jaccard is 0/0 — the verification join alone
+    could never drop them), while distinct non-empty docs survive."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in dedup.minhash_dedup(df).collect()}
+    assert kept == {1, 3}
+
+
 def test_ngram_jaccard_sanity(spark, docs_with_dups):
     pairs = dedup.all_pairs_jaccard(docs_with_dups, th=0.99)
     got = {(r["id1"], r["id2"]) for r in pairs.collect()}
