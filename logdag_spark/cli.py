@@ -6,7 +6,15 @@
         [--algorithm pc|pc-corr|lingam|lingam-corr] [--lingam-algorithm direct|ica]
     python -m logdag_spark show-stats   --warehouse WH
     python -m logdag_spark show-edges   --warehouse WH [--unit U]
+    python -m logdag_spark show-list    --warehouse WH
+    python -m logdag_spark show-node-list --warehouse WH
+    python -m logdag_spark dump-events  --warehouse WH
+    python -m logdag_spark show-group-stats --warehouse WH
     python -m logdag_spark show-subgraphs --warehouse WH
+    python -m logdag_spark show-netsize --warehouse WH
+    python -m logdag_spark show-netsize-list --warehouse WH
+    python -m logdag_spark show-node-ts --warehouse WH --node-ids N...
+    python -m logdag_spark show-full-config / show-default-config
     python -m logdag_spark show-stats-by-threshold --warehouse WH
     python -m logdag_spark update-event-label --warehouse WH
     python -m logdag_spark plot-dag     --warehouse WH [--out DOT_DIR]
@@ -94,7 +102,10 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="logdag_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
     for cmd in (
-        "make-evdb", "make-dag", "show-stats", "show-edges", "show-subgraphs",
+        "make-evdb", "make-dag", "show-stats", "show-edges", "show-list",
+        "show-node-list", "dump-events", "show-group-stats", "show-subgraphs",
+        "show-netsize", "show-netsize-list", "show-node-ts",
+        "show-full-config", "show-default-config",
         "show-stats-by-threshold", "update-event-label", "plot-dag",
         "plot-node-ts", "add-trouble", "add-lids", "label-trouble",
         "list-trouble",
@@ -103,6 +114,23 @@ def main(argv: list[str] | None = None) -> int:
     ):
         _common(sub.add_parser(cmd))
     args = ap.parse_args(argv)
+
+    # config introspection (reference __main__.py:353-360) is pure
+    # dataclass printing: no reason to pay a JVM session launch
+    if args.cmd in ("show-full-config", "show-default-config"):
+        import dataclasses
+
+        if args.cmd == "show-default-config":
+            cfg = PipelineConfig()
+        else:
+            cfg = PipelineConfig(
+                cause_algorithm=args.algorithm, ci_func=args.ci_func,
+                ci_bin_size=args.bin_size, warehouse=args.warehouse,
+                lingam_algorithm=args.lingam_algorithm,
+            )
+        for f in dataclasses.fields(cfg):
+            print(f"{f.name} = {getattr(cfg, f.name)!r}")
+        return 0
 
     # pure file-side ticket CRUD: no reason to pay a JVM session launch
     # for a command that appends a few bytes of JSON
@@ -166,14 +194,101 @@ def main(argv: list[str] | None = None) -> int:
         edges_with_nodes(cat.read("dag_edges"), cat.read("event_dim")).select(
             "unit", "src_id", "dst_id", "directed", "weight"
         ).show(200, truncate=False)
+    elif args.cmd == "show-list":
+        # reference __main__.py:230-240: abstracted per-DAG node/edge counts
+        from logdag_spark.operators.graphops import dag_stats
+
+        dag_stats(cat.read("dag_edges"), cat.read("event_dim")).select(
+            "unit", "n_nodes", "n_edges"
+        ).orderBy("unit").show(200, truncate=False)
+    elif args.cmd == "show-node-list":
+        # reference __main__.py:242-250: "eid: node description" per unit
+        cat.read("event_dim").select(
+            "unit", "eid", "identifier"
+        ).orderBy("unit", "eid").show(500, truncate=False)
+    elif args.cmd == "dump-events":
+        # reference __main__.py:124-140: event definitions with source
+        # information — the full event dim, one row per (unit, eid)
+        cat.read("event_dim").orderBy("unit", "eid").show(500, truncate=False)
+    elif args.cmd == "show-group-stats":
+        # reference __main__.py:300-323: per-group node / edge-endpoint /
+        # log-count table.  Edges count once per ENDPOINT group (the
+        # reference increments d_edge for both src and dst); logs are the
+        # series totals the event dim already carries.
+        from pyspark.sql import functions as F
+
+        evdim = cat.read("event_dim")
+        if "group" not in evdim.columns:
+            gid_groups = fx.template_dim(spark).select(
+                F.col("gid").cast("string").alias("key"), "group"
+            )
+            evdim = evdim.join(F.broadcast(gid_groups), "key", "left").withColumn(
+                "group", F.coalesce("group", F.lit("snmp"))
+            )
+        nodes = evdim.groupBy("group").agg(
+            F.count("*").alias("nodes"), F.sum("total").alias("logs")
+        )
+        ev_g = evdim.select("unit", "eid", "group")
+        edges = cat.read("dag_edges")
+        endpoints = edges.select(
+            "unit", F.col("src_eid").alias("eid")
+        ).unionAll(edges.select("unit", F.col("dst_eid").alias("eid")))
+        edge_g = endpoints.join(ev_g, ["unit", "eid"]).groupBy("group").agg(
+            F.count("*").alias("edges")
+        )
+        nodes.join(edge_g, "group", "left").na.fill(0).orderBy("group").show(
+            truncate=False
+        )
     elif args.cmd == "show-subgraphs":
+        # reference __main__.py:549-552: the edges inside each connected
+        # subgraph (the size DISTRIBUTION is show-netsize)
+        from pyspark.sql import functions as F
+
+        from logdag_spark.operators.graphops import connected_components
+
+        comp = connected_components(cat.read("dag_edges"), cat.read("event_dim"))
+        src_c = comp.select(
+            "unit", F.col("eid").alias("src_eid"), "component"
+        )
+        cat.read("dag_edges").join(src_c, ["unit", "src_eid"]).select(
+            "unit", "component", "src_eid", "dst_eid", "weight"
+        ).orderBy("unit", "component", "src_eid", "dst_eid").show(
+            200, truncate=False
+        )
+    elif args.cmd in ("show-netsize", "show-netsize-list"):
+        # reference __main__.py:339-351: component-size distribution /
+        # per-unit component sizes
+        from pyspark.sql import functions as F
+
         from logdag_spark.operators.graphops import (
             connected_components,
             netsize_distribution,
         )
 
         comp = connected_components(cat.read("dag_edges"), cat.read("event_dim"))
-        netsize_distribution(comp).show(truncate=False)
+        if args.cmd == "show-netsize":
+            netsize_distribution(comp).show(truncate=False)
+        else:
+            comp.groupBy("unit", "component").agg(
+                F.count("*").alias("size")
+            ).orderBy("unit", F.desc("size"), "component").show(
+                200, truncate=False
+            )
+    elif args.cmd == "show-node-ts":
+        # reference __main__.py:325-336: node time-series as CSV on stdout
+        from pyspark.sql import functions as F
+
+        if not args.node_ids:
+            ap.error("show-node-ts needs --node-ids")
+        rows = (
+            cat.read("unit_matrix")
+            .where(F.col("eid").isin(args.node_ids))
+            .orderBy("unit", "eid", "bin")
+            .collect()
+        )
+        print("unit,eid,bin,cnt")
+        for r in rows:
+            print(f"{r['unit']},{r['eid']},{r['bin']},{r['cnt']}")
     elif args.cmd == "plot-dag":
         # reference __main__.py:364-378 renders via graphviz; here the
         # DOT source itself is the artifact (render-free runtime)

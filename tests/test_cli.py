@@ -139,3 +139,55 @@ def test_external_queries_keep_id_colliding_neighbors(spark, sf001_dir):
         for r in similarity.brute_force_topk(emb, q, k=5).collect()
     }
     assert 3 not in without
+
+
+def test_show_command_surface(cli_run, warehouse, capsys):
+    """The read-only show-* commands against the module warehouse
+    (reference __main__.py:124-360).  Runs after the make-dag test
+    built the warehouse; each command is a dispatch smoke plus a
+    content spot-check on stdout."""
+    assert cli_run("show-list", "--warehouse", warehouse) == 0
+    out = capsys.readouterr().out
+    assert "n_nodes" in out and "n_edges" in out
+
+    assert cli_run("show-node-list", "--warehouse", warehouse) == 0
+    out = capsys.readouterr().out
+    assert "identifier" in out
+
+    assert cli_run("dump-events", "--warehouse", warehouse) == 0
+    out = capsys.readouterr().out
+    assert "eid" in out and "total" in out
+
+    assert cli_run("show-group-stats", "--warehouse", warehouse) == 0
+    out = capsys.readouterr().out
+    assert "nodes" in out and "edges" in out and "logs" in out
+
+    assert cli_run("show-subgraphs", "--warehouse", warehouse) == 0
+    out = capsys.readouterr().out
+    assert "component" in out and "src_eid" in out
+
+    assert cli_run("show-netsize", "--warehouse", warehouse) == 0
+    out = capsys.readouterr().out
+    assert "n_components" in out
+
+    assert cli_run("show-netsize-list", "--warehouse", warehouse) == 0
+    out = capsys.readouterr().out
+    assert "size" in out
+
+    assert cli_run("show-node-ts", "--warehouse", warehouse,
+                   "--node-ids", "0") == 0
+    out = capsys.readouterr().out
+    assert out.startswith("unit,eid,bin,cnt")
+    assert len(out.strip().splitlines()) > 1
+
+
+def test_config_commands_no_session(cli_run, capsys):
+    """show-full-config / show-default-config print the dataclass without
+    launching a session (pure file-side dispatch)."""
+    assert cli_run("show-default-config") == 0
+    out = capsys.readouterr().out
+    assert "ci_bin_size = '1m'" in out
+    assert cli_run("show-full-config", "--bin-size", "5m",
+                   "--algorithm", "lingam") == 0
+    out = capsys.readouterr().out
+    assert "ci_bin_size = '5m'" in out and "cause_algorithm = 'lingam'" in out
