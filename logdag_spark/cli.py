@@ -96,13 +96,20 @@ def _common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--identifiers", nargs="*", default=None,
                    help="add-lids event identifiers")
     p.add_argument("--capacity", type=int, default=512, help="pack-docs tokens per bin")
+    p.add_argument(
+        "--conditions", nargs="*", default=[],
+        help="show-edge search conditions: node=EID gid=KEY host=SUBSTR "
+             "(reference __main__.py:153-165 grammar)",
+    )
 
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="logdag_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
     for cmd in (
-        "make-evdb", "make-dag", "show-stats", "show-edges", "show-list",
+        "make-evdb", "make-dag", "make-dag-stdin", "make-args", "show-args",
+        "show-edge", "show-edge-list",
+        "show-stats", "show-edges", "show-list",
         "show-node-list", "dump-events", "show-group-stats", "show-subgraphs",
         "show-netsize", "show-netsize-list", "show-node-ts",
         "show-full-config", "show-default-config",
@@ -172,26 +179,82 @@ def main(argv: list[str] | None = None) -> int:
     )
     dt_range = (DEFAULT_T0, DEFAULT_T0 + timedelta(hours=24))
 
-    if args.cmd in ("make-evdb", "make-dag"):
+    if args.cmd in ("make-evdb", "make-dag", "make-dag-stdin"):
         from logdag_spark.pipeline.runner import run_pipeline
 
+        units = None
+        run_cat = cat
+        if args.cmd == "make-dag-stdin":
+            # reference __main__.py:517-519: unit names arrive one per
+            # line on stdin (pipeline-processing interface).  Each unit
+            # batch checkpoints under its own warehouse subtree — the
+            # reference keys output files by argument name the same way;
+            # sharing the full-run tables would make the manifest-gated
+            # resume return the UNRESTRICTED edges
+            units = sorted({u for u in sys.stdin.read().split() if u})
+            if not units:
+                ap.error("make-dag-stdin expects unit names on stdin")
+            sub = os.path.join(args.warehouse, "stdin", "_".join(units)[:128])
+            run_cat = Catalog(spark, sub, iceberg_catalog=args.iceberg_catalog)
         tokens = fx.contract(fx.gen_tokens(spark, scale=args.scale))
         res = run_pipeline(
             spark, tokens, fx.host_meta(spark), fx.template_dim(spark),
-            dt_range, cfg, catalog=cat, apply_filters=not args.no_filters,
+            dt_range, cfg, catalog=run_cat, apply_filters=not args.no_filters,
+            units=units,
         )
         if args.cmd == "make-evdb":
             res.sink_counts().show(truncate=False)
         else:
             res.edges.groupBy("unit").count().show(truncate=False)
+    elif args.cmd == "make-args":
+        # reference __main__.py:511-513: materialize the per-unit argument
+        # list so later per-unit commands (and show-args) can read it
+        from logdag_spark.pipeline.correlate import make_unit_hosts
+
+        uh = make_unit_hosts(spark, dt_range, cfg, fx.host_meta(spark))
+        cat.write(uh, "unit_args", stage="make-args")
+        print(f"{uh.select('unit').distinct().count()} units")
+    elif args.cmd == "show-args":
+        # reference __main__.py:141-150: exits cleanly when make-args has
+        # not run yet
+        from pyspark.sql import functions as F
+
+        try:
+            uh = cat.read("unit_args")
+        except Exception:
+            ap.error("argument table not found — run make-args first")
+        uh.groupBy("unit").agg(
+            F.count("*").alias("n_hosts"),
+            F.min("dts").alias("dts"), F.max("dte").alias("dte"),
+        ).orderBy("unit").show(200, truncate=False)
     elif args.cmd == "show-stats":
         from logdag_spark.operators.graphops import dag_stats
 
         dag_stats(cat.read("dag_edges"), cat.read("event_dim")).show(truncate=False)
-    elif args.cmd == "show-edges":
-        from logdag_spark.operators.graphops import edges_with_nodes
+    elif args.cmd in ("show-edges", "show-edge-list", "show-edge"):
+        from pyspark.sql import functions as F
 
-        edges_with_nodes(cat.read("dag_edges"), cat.read("event_dim")).select(
+        from logdag_spark.operators.graphops import edges_with_nodes, f_edge_search
+
+        e = edges_with_nodes(cat.read("dag_edges"), cat.read("event_dim"))
+        if args.cmd == "show-edge":
+            # reference __main__.py:153-185: node= / gid= / host= filters;
+            # host is a substring match, gid matches either endpoint
+            cond: dict[str, str] = {}
+            for c in args.conditions:
+                if "=" not in c:
+                    ap.error(f"bad condition {c!r} (want key=value)")
+                k, _, v = c.partition("=")
+                if k not in ("node", "gid", "host"):
+                    ap.error(f"unknown condition key {k!r} (node|gid|host)")
+                cond[k] = v
+            if not cond:
+                ap.error("show-edge needs --conditions (node=|gid=|host=)")
+            e = f_edge_search(e, gid=cond.get("gid"), host_substr=cond.get("host"))
+            if "node" in cond:
+                eid = int(cond["node"])
+                e = e.where((F.col("src_eid") == eid) | (F.col("dst_eid") == eid))
+        e.select(
             "unit", "src_id", "dst_id", "directed", "weight"
         ).show(200, truncate=False)
     elif args.cmd == "show-list":

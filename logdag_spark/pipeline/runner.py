@@ -80,6 +80,7 @@ def run_pipeline(
     checkpoint_stages: tuple[str, ...] = (
         "events_ts", "binned", "event_dim", "unit_matrix", "dag_edges",
     ),
+    units: list[str] | None = None,
 ) -> PipelineResult:
     cfg = cfg or PipelineConfig()
     parse = parse_tokens_pandas if use_pandas_parse else parse_tokens
@@ -153,6 +154,17 @@ def run_pipeline(
         (r["host"], r["area"]) for r in host_meta.select("host", "area").collect()
     ]
     specs = unit_specs(dt_range, cfg, hosts)
+    if units is not None:
+        # make-dag-stdin style unit restriction (reference
+        # __main__.py:517-519 processes only the units named on stdin)
+        want = set(units)
+        specs = [s for s in specs if s[0] in want]
+        missing = want - {s[0] for s in specs}
+        if missing:
+            raise ValueError(
+                f"unknown unit(s) {sorted(missing)}; "
+                f"unit names look like all_YYYYMMDD / <host>_YYYYMMDD"
+            )
     uh = spark.createDataFrame(specs, UNIT_HOSTS_SCHEMA)
     long = assign_units(binned, uh)
     evdim = event_dim(long)

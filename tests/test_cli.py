@@ -191,3 +191,48 @@ def test_config_commands_no_session(cli_run, capsys):
                    "--algorithm", "lingam") == 0
     out = capsys.readouterr().out
     assert "ci_bin_size = '5m'" in out and "cause_algorithm = 'lingam'" in out
+
+
+def test_args_and_edge_search_commands(cli_run, warehouse, capsys, monkeypatch):
+    """make-args / show-args round-trip the per-unit argument table
+    (reference __main__.py:511-513,141-150); show-edge applies the
+    node=/gid=/host= condition grammar (:153-185); make-dag-stdin
+    restricts the run to the units named on stdin (:517-519)."""
+    import io
+
+    assert cli_run("make-args", "--warehouse", warehouse) == 0
+    out = capsys.readouterr().out
+    assert "units" in out
+
+    assert cli_run("show-args", "--warehouse", warehouse) == 0
+    out = capsys.readouterr().out
+    assert "n_hosts" in out and "all_20240101" in out
+
+    # condition grammar: host substring + node membership
+    assert cli_run("show-edge", "--warehouse", warehouse,
+                   "--conditions", "host=host00") == 0
+    out = capsys.readouterr().out
+    assert "host00" in out
+    assert cli_run("show-edge", "--warehouse", warehouse,
+                   "--conditions", "node=0") == 0
+    capsys.readouterr()
+    # show-edge-list is the filter-free listing (alias surface)
+    assert cli_run("show-edge-list", "--warehouse", warehouse) == 0
+    capsys.readouterr()
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        cli_run("show-edge", "--warehouse", warehouse)  # no conditions
+    capsys.readouterr()
+
+    monkeypatch.setattr("sys.stdin", io.StringIO("all_20240101\n"))
+    assert cli_run("make-dag-stdin", "--scale", "0.02",
+                   "--warehouse", warehouse) == 0
+    out = capsys.readouterr().out
+    assert "all_20240101" in out
+
+    monkeypatch.setattr("sys.stdin", io.StringIO("bogus_unit\n"))
+    with _pytest.raises(ValueError, match="unknown unit"):
+        cli_run("make-dag-stdin", "--scale", "0.02",
+                "--warehouse", warehouse)
