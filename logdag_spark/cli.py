@@ -19,10 +19,20 @@
     python -m logdag_spark update-event-label --warehouse WH
     python -m logdag_spark plot-dag     --warehouse WH [--out DOT_DIR]
     python -m logdag_spark plot-node-ts --warehouse WH --node-ids N... [--out CSV]
+    python -m logdag_spark make-args / show-args --warehouse WH
+    python -m logdag_spark make-dag-stdin --warehouse WH  (unit names on stdin)
+    python -m logdag_spark show-edge    --warehouse WH --conditions node=N gid=K host=H
     python -m logdag_spark add-trouble  --warehouse WH --date D --group G --title T
     python -m logdag_spark add-lids     --warehouse WH --tid N --identifiers I...
+    python -m logdag_spark add-lids-stdin --warehouse WH --tid N  (lids on stdin)
     python -m logdag_spark label-trouble --warehouse WH --tid N --group G
-    python -m logdag_spark list-trouble --warehouse WH
+    python -m logdag_spark list-trouble / list-group / list-trouble-stat --warehouse WH
+    python -m logdag_spark show-lids / show-trouble --warehouse WH --tid N
+    python -m logdag_spark search-trouble --warehouse WH --identifiers SUBSTR...
+    python -m logdag_spark show-match   --warehouse WH --tid N [--rule both]
+    python -m logdag_spark show-match-all / show-match-info --warehouse WH
+    python -m logdag_spark show-snmp-stats --warehouse WH
+    python -m logdag_spark drop-features --warehouse WH
     python -m logdag_spark dump-input   --warehouse WH --out CSV_DIR
     python -m logdag_spark lineage      --warehouse WH
     python -m logdag_spark dedup-docs   --input DOCS_PARQUET [--method exact|minhash]
@@ -101,6 +111,10 @@ def _common(p: argparse.ArgumentParser) -> None:
         help="show-edge search conditions: node=EID gid=KEY host=SUBSTR "
              "(reference __main__.py:153-165 grammar)",
     )
+    p.add_argument(
+        "--rule", default="both", choices=["all", "both", "either", "log-snmp"],
+        help="show-match edge-match rule (reference eval/match_edge.py)",
+    )
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -116,6 +130,9 @@ def main(argv: list[str] | None = None) -> int:
         "show-stats-by-threshold", "update-event-label", "plot-dag",
         "plot-node-ts", "add-trouble", "add-lids", "label-trouble",
         "list-trouble",
+        "add-lids-stdin", "show-lids", "list-group", "list-trouble-stat",
+        "search-trouble", "show-trouble", "show-match", "show-match-all",
+        "show-match-info", "show-snmp-stats", "drop-features",
         "dump-input", "lineage", "dedup-docs", "ann-topk",
         "sample-docs", "pack-docs", "vocab",
     ):
@@ -141,10 +158,75 @@ def main(argv: list[str] | None = None) -> int:
 
     # pure file-side ticket CRUD: no reason to pay a JVM session launch
     # for a command that appends a few bytes of JSON
-    if args.cmd in ("add-trouble", "add-lids", "label-trouble"):
+    if args.cmd in (
+        "add-trouble", "add-lids", "add-lids-stdin", "label-trouble",
+        "show-lids", "list-group", "list-trouble-stat", "search-trouble",
+    ):
+        import json
+
         from logdag_spark.operators import dagio
 
         tpath = args.trouble_path or os.path.join(args.warehouse, "troubles")
+
+        def _tickets() -> list[dict]:
+            out = []
+            if os.path.isdir(tpath):
+                for name in sorted(os.listdir(tpath)):
+                    if name.endswith(".json"):
+                        with open(os.path.join(tpath, name)) as f:
+                            out.append(json.load(f))
+            return out
+
+        if args.cmd == "add-lids-stdin":
+            # reference eval/__main__.py:443-445: identifiers one per line
+            if args.tid is None:
+                ap.error("add-lids-stdin needs --tid")
+            idents = [x for x in sys.stdin.read().split() if x]
+            if not idents:
+                ap.error("add-lids-stdin expects identifiers on stdin")
+            try:
+                dagio.add_trouble_identifiers(tpath, args.tid, idents)
+            except FileNotFoundError:
+                ap.error(f"no trouble ticket {args.tid} in {tpath}")
+            return 0
+        if args.cmd == "show-lids":
+            if args.tid is None:
+                ap.error("show-lids needs --tid")
+            hit = [t for t in _tickets() if int(t["tid"]) == args.tid]
+            if not hit:
+                ap.error(f"no trouble ticket {args.tid} in {tpath}")
+            for ident in hit[0].get("identifiers", []):
+                print(ident)
+            return 0
+        if args.cmd == "list-group":
+            # reference eval/__main__.py:452-454: tickets per group
+            from collections import Counter
+
+            for g, n in sorted(
+                Counter(t.get("group") for t in _tickets()).items(),
+                key=lambda kv: (kv[0] is None, kv[0]),
+            ):
+                print(f"{g}\t{n}")
+            return 0
+        if args.cmd == "list-trouble-stat":
+            # reference eval/__main__.py:455-457: message counts per ticket
+            for t in _tickets():
+                print(
+                    f"{str(t['tid']).zfill(4)}\t{t.get('group')}\t"
+                    f"{len(t.get('identifiers', []))}"
+                )
+            return 0
+        if args.cmd == "search-trouble":
+            # reference eval/__main__.py:470-472: tickets whose messages
+            # match the given identifier substrings
+            if not args.identifiers:
+                ap.error("search-trouble needs --identifiers SUBSTR...")
+            for t in _tickets():
+                idents = t.get("identifiers", [])
+                if any(s in i for s in args.identifiers for i in idents):
+                    print(f"{str(t['tid']).zfill(4)}\t{t.get('group')}\t"
+                          f"{t.get('title')}")
+            return 0
         if args.cmd == "add-trouble":
             if not (args.date and args.group and args.title):
                 ap.error("add-trouble needs --date --group --title")
@@ -407,6 +489,70 @@ def main(argv: list[str] | None = None) -> int:
             stage="update-event-label",
         )
         cat.read("event_dim").groupBy("group").count().show(truncate=False)
+    elif args.cmd == "show-trouble":
+        # reference eval/__main__.py:464-466: the raw messages behind a
+        # ticket — events whose host:key identifier is in the ticket set
+        from pyspark.sql import functions as F
+
+        from logdag_spark.operators.dagio import load_trouble_tickets
+
+        if args.tid is None:
+            ap.error("show-trouble needs --tid")
+        tpath = args.trouble_path or os.path.join(args.warehouse, "troubles")
+        t = load_trouble_tickets(spark, tpath).where(
+            F.col("tid") == str(args.tid).zfill(4)
+        )
+        ev = cat.read("events_ts").withColumn(
+            "identifier", F.concat_ws(":", "host", "key")
+        )
+        ev.join(F.broadcast(t), "identifier").select(
+            "tid", "ts", "host", "key", "measure", "val"
+        ).orderBy("ts").show(200, truncate=False)
+    elif args.cmd in ("show-match", "show-match-all", "show-match-info"):
+        # reference eval/__main__.py:473-494: ticket<->edge matching via
+        # the J8 operator; -info abstracts to per-ticket counts
+        from pyspark.sql import functions as F
+
+        from logdag_spark.operators.dagio import load_trouble_tickets
+        from logdag_spark.operators.graphops import match_trouble_edges
+
+        tpath = args.trouble_path or os.path.join(args.warehouse, "troubles")
+        trouble = load_trouble_tickets(spark, tpath)
+        if args.cmd == "show-match":
+            if args.tid is None:
+                ap.error("show-match needs --tid")
+            trouble = trouble.where(F.col("tid") == str(args.tid).zfill(4))
+        matched = match_trouble_edges(
+            cat.read("dag_edges"), cat.read("event_dim"), trouble,
+            rule=args.rule,
+        )
+        if args.cmd == "show-match-info":
+            matched.groupBy("tid").agg(
+                F.count("*").alias("n_matched_edges"),
+                F.countDistinct("unit").alias("n_units"),
+            ).orderBy("tid").show(200, truncate=False)
+        else:
+            matched.orderBy("tid", "unit", "src_eid", "dst_eid").show(
+                200, truncate=False
+            )
+    elif args.cmd == "show-snmp-stats":
+        # reference source/__main__.py:199-201: event counts per
+        # telemetry feature measure (everything routed off the log sink)
+        from pyspark.sql import functions as F
+
+        cat.read("events_ts").where(
+            ~F.col("measure").isin("log_feature", "unparsed")
+        ).groupBy("measure").agg(
+            F.count("*").alias("n_rows"),
+            F.sum("val").alias("total_val"),
+            F.countDistinct("host", "key").alias("n_series"),
+        ).orderBy("measure").show(truncate=False)
+    elif args.cmd == "drop-features":
+        # reference source/__main__.py:202-205: drop derived feature
+        # data, keep original data — here the derived stage checkpoints
+        # downstream of the raw events_ts table
+        for t in ("binned", "event_dim", "unit_matrix", "dag_edges"):
+            print(f"{t}: {'dropped' if cat.drop(t) else 'absent'}")
     elif args.cmd == "dump-input":
         # S9: write the per-unit input matrix as CSV (reference
         # __main__.py:111-121 dumps TSV); without --out, preview

@@ -115,6 +115,28 @@ class Catalog:
             or os.path.exists(os.path.join(p, "_LOGDAG_COMMITTED"))
         )
 
+    def drop(self, table: str) -> bool:
+        """Remove a checkpointed stage so the next run recomputes it
+        (the reference's ``drop-features`` analogue,
+        /root/reference/logdag/source/__main__.py:202-205: derived
+        feature data is disposable, original data is not — which stages
+        count as derived is the CALLER's decision).  Returns whether
+        anything existed.  Parquet backend removes the table directory
+        (manifest included, so a half-deleted dir can never look
+        committed); Iceberg drops the table through the catalog."""
+        if self.use_iceberg:
+            if not self.spark.catalog.tableExists(self._ident(table)):
+                return False
+            self.spark.sql(f"DROP TABLE {self._ident(table)}")
+            return True
+        p = self.path(table)
+        if not os.path.isdir(p):
+            return False
+        import shutil
+
+        shutil.rmtree(p)
+        return True
+
     # ------------------------------------------------------------ writes
 
     def write(

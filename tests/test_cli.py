@@ -236,3 +236,80 @@ def test_args_and_edge_search_commands(cli_run, warehouse, capsys, monkeypatch):
     with _pytest.raises(ValueError, match="unknown unit"):
         cli_run("make-dag-stdin", "--scale", "0.02",
                 "--warehouse", warehouse)
+
+
+def test_eval_trouble_surface(cli_run, spark, warehouse, tmp_path, capsys,
+                              monkeypatch):
+    """The eval-side ticket commands (reference eval/__main__.py:436-494):
+    file-side listing/search plus the Spark-side show-trouble /
+    show-match family over the module warehouse."""
+    import io
+
+    tdir = str(tmp_path / "troubles")
+    assert cli_run("add-trouble", "--warehouse", warehouse,
+                   "--trouble-path", tdir, "--date", "20240101",
+                   "--group", "network", "--title", "flap") == 0
+    capsys.readouterr()
+    # identifiers that exist in the tiny warehouse's event dim
+    monkeypatch.setattr("sys.stdin", io.StringIO("host00:0\nhost00:1\n"))
+    assert cli_run("add-lids-stdin", "--warehouse", warehouse,
+                   "--trouble-path", tdir, "--tid", "0") == 0
+    capsys.readouterr()
+
+    assert cli_run("show-lids", "--warehouse", warehouse,
+                   "--trouble-path", tdir, "--tid", "0") == 0
+    out = capsys.readouterr().out
+    assert out.splitlines() == ["host00:0", "host00:1"]
+
+    assert cli_run("list-group", "--warehouse", warehouse,
+                   "--trouble-path", tdir) == 0
+    assert "network\t1" in capsys.readouterr().out
+
+    assert cli_run("list-trouble-stat", "--warehouse", warehouse,
+                   "--trouble-path", tdir) == 0
+    assert "0000\tnetwork\t2" in capsys.readouterr().out
+
+    assert cli_run("search-trouble", "--warehouse", warehouse,
+                   "--trouble-path", tdir, "--identifiers", "host00") == 0
+    assert "0000" in capsys.readouterr().out
+    assert cli_run("search-trouble", "--warehouse", warehouse,
+                   "--trouble-path", tdir, "--identifiers", "nohost") == 0
+    assert "0000" not in capsys.readouterr().out
+
+    assert cli_run("show-trouble", "--warehouse", warehouse,
+                   "--trouble-path", tdir, "--tid", "0") == 0
+    out = capsys.readouterr().out
+    assert "host00" in out and "0000" in out
+
+    for cmd in ("show-match-all", "show-match-info"):
+        assert cli_run(cmd, "--warehouse", warehouse,
+                       "--trouble-path", tdir, "--rule", "all") == 0
+        capsys.readouterr()
+    assert cli_run("show-match", "--warehouse", warehouse,
+                   "--trouble-path", tdir, "--tid", "0",
+                   "--rule", "both") == 0
+    capsys.readouterr()
+
+
+def test_snmp_stats_and_drop_features_last(cli_run, spark, warehouse, capsys):
+    """show-snmp-stats lists non-log measures (reference
+    source/__main__.py:199-201); drop-features removes the derived
+    stage checkpoints but keeps the raw events_ts (:202-205).  Runs
+    LAST in this module: it destroys the shared warehouse's derived
+    tables."""
+    assert cli_run("show-snmp-stats", "--warehouse", warehouse) == 0
+    out = capsys.readouterr().out
+    assert "measure" in out  # header prints even with zero snmp measures
+
+    from logdag_spark.io.catalog import Catalog
+
+    cat = Catalog(spark, warehouse)
+    assert cat.exists("dag_edges") and cat.exists("events_ts")
+    assert cli_run("drop-features", "--warehouse", warehouse) == 0
+    out = capsys.readouterr().out
+    assert "dag_edges: dropped" in out
+    assert not cat.exists("dag_edges") and not cat.exists("unit_matrix")
+    assert cat.exists("events_ts")  # original data survives
+    # idempotent: a second drop reports absent and exits cleanly
+    assert cli_run("drop-features", "--warehouse", warehouse) == 0
+    assert "dag_edges: absent" in capsys.readouterr().out
