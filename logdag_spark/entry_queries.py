@@ -1264,14 +1264,32 @@ def q_doc_fingerprint(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal decode plumbing.  The driver's canonicalizer can't
-    sort/hash array columns, so the entry projects scalar columns only —
-    the feature vector is reduced to a checksum + element count; the full
-    ``array<float>`` stays available via the non-entry API
-    (operators.multimodal.extract_features)."""
-    from logdag_spark.operators.multimodal import extract_features, synthetic_media
+    """Multimodal decode plumbing, exercised for real: media rows derive
+    deterministically from the documents table (payload = UTF-8 text
+    bytes, kind round-robins image/audio/video) and flow through the
+    Arrow ``mapInPandas`` decode operator.  The stub decoder's fake
+    feature is sha256-digest-bytes/255 (operators/multimodal.py:40-50),
+    which a SQL oracle can replicate byte-for-byte via a 256-row hex
+    lookup — so this entry is exact-checkable even though the hot path
+    is a Python-side (stubbed) codec seam.  The driver's canonicalizer
+    can't sort/hash array columns, so the entry projects scalars only;
+    the full ``array<float>`` stays available via
+    operators.multimodal.extract_features."""
+    from logdag_spark.operators.multimodal import extract_features
 
-    feats = extract_features(synthetic_media(spark, 64))
+    d = _load(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.coalesce("text", F.lit("")).cast("binary").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    feats = extract_features(media)
     return feats.select(
         "media_id",
         "kind",
@@ -1310,6 +1328,36 @@ SELECT doc_id::varchar AS media_id,
        unnest(range(0, greatest(length(text) * 10 - 1, 0) + 1, 1000))::bigint
            AS frame_ts_ms
 FROM documents WHERE doc_id % 3 = 2
+"""
+
+# The stub decoder's fake feature vector is sha256(payload) digest bytes
+# / 255 as float32 (operators/multimodal.py:40-50).  SQL replica: hex
+# digest -> 32 byte values via a 256-row printf('%02x') lookup, each
+# widened exactly like Spark does (float32 division, then double
+# accumulation); ROUND(...,6) absorbs summation-order noise (values are
+# <= 32, double noise is <1e-13).
+SQL_MEDIA_FEATURES = """
+WITH hexmap AS (SELECT printf('%02x', i) AS hx, i AS b FROM range(256) t(i)),
+m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         CASE WHEN doc_id % 3 = 2 THEN 'video'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'image' END AS kind,
+         COALESCE(text, '') AS text
+  FROM documents
+),
+h AS (
+  SELECT media_id, kind, octet_length(encode(text)) AS n_bytes,
+         sha256(text) AS sha
+  FROM m
+),
+e AS (SELECT media_id, kind, n_bytes, sha, p FROM h, range(32) t(p))
+SELECT e.media_id, e.kind, e.n_bytes, e.sha AS sha256,
+       32 AS feature_dim,
+       ROUND(SUM(CAST(CAST(hexmap.b AS FLOAT) / CAST(255 AS FLOAT)
+                      AS DOUBLE)), 6) AS feature_sum
+FROM e JOIN hexmap ON substr(e.sha, CAST(2 * e.p + 1 AS INT), 2) = hexmap.hx
+GROUP BY 1, 2, 3, 4, 5
 """
 
 
@@ -2741,7 +2789,7 @@ QUERIES = {
     "lsh_topk": (q_lsh_topk, None),
     "ivf_topk": (q_ivf_topk, None),
     "doc_fingerprint": (q_doc_fingerprint, None),
-    "media_features": (q_media_features, None),
+    "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "lingam_daily": (q_lingam_daily, None),
     "pc_depth2_daily": (q_pc_depth2_daily, None),
     "flagship_dag": (q_flagship_dag, None),
