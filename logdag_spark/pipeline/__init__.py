@@ -1,4 +1,8 @@
-from logdag_spark.pipeline.parse import parse_tokens, parse_tokens_pandas  # noqa: F401
+from logdag_spark.pipeline.parse import (  # noqa: F401
+    parse_tokens,
+    parse_tokens_arrow,
+    parse_tokens_pandas,
+)
 from logdag_spark.pipeline.enrich import enrich  # noqa: F401
 from logdag_spark.pipeline.route import route  # noqa: F401
 from logdag_spark.pipeline.aggregate import (  # noqa: F401

@@ -33,7 +33,11 @@ from logdag_spark.pipeline.correlate import (
     unit_specs,
 )
 from logdag_spark.pipeline.enrich import enrich
-from logdag_spark.pipeline.parse import parse_tokens, parse_tokens_pandas
+from logdag_spark.pipeline.parse import (
+    parse_tokens,
+    parse_tokens_arrow,
+    parse_tokens_pandas,
+)
 from logdag_spark.pipeline.pc import orient_depth0_edges, pc_edges
 from logdag_spark.pipeline.pknowledge import (
     build_noedge,
@@ -83,7 +87,16 @@ def run_pipeline(
     units: list[str] | None = None,
 ) -> PipelineResult:
     cfg = cfg or PipelineConfig()
-    parse = parse_tokens_pandas if use_pandas_parse else parse_tokens
+    # use_pandas_parse=True selects the vectorized Python kernel family:
+    # the scalar-arrow_udf kernel on PySpark 4.x, the pandas_udf kernel
+    # otherwise (same semantics, impls-agree-tested); False selects the
+    # pure-Catalyst joins for Python-worker-free deployments
+    if use_pandas_parse:
+        parse = (
+            parse_tokens_arrow if hasattr(F, "arrow_udf") else parse_tokens_pandas
+        )
+    else:
+        parse = parse_tokens
 
     def ck(df: DataFrame, name: str, partition_by=None) -> DataFrame:
         if catalog is None or name not in checkpoint_stages:

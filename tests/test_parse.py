@@ -7,7 +7,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from logdag_spark import fixtures as fx
-from logdag_spark.pipeline import parse_tokens, parse_tokens_pandas
+from logdag_spark.pipeline import (
+    parse_tokens,
+    parse_tokens_arrow,
+    parse_tokens_pandas,
+)
 
 
 @pytest.fixture(scope="module")
@@ -15,7 +19,9 @@ def labeled(spark):
     return fx.gen_tokens(spark, scale=0.05).cache()
 
 
-@pytest.mark.parametrize("impl", [parse_tokens, parse_tokens_pandas])
+@pytest.mark.parametrize(
+    "impl", [parse_tokens, parse_tokens_pandas, parse_tokens_arrow]
+)
 def test_parse_exact(spark, labeled, impl):
     tdim = fx.template_dim(spark)
     parsed = impl(fx.contract(labeled), tdim)
@@ -27,7 +33,9 @@ def test_parse_exact(spark, labeled, impl):
     assert j.count() == labeled.count()  # no dup matches, no drops
 
 
-@pytest.mark.parametrize("impl", [parse_tokens, parse_tokens_pandas])
+@pytest.mark.parametrize(
+    "impl", [parse_tokens, parse_tokens_pandas, parse_tokens_arrow]
+)
 def test_unmatched_rows_keep_null_gid(spark, impl):
     """Rows matching no template survive with gid NULL — including rows
     whose token length EQUALS a template length but whose constants match
@@ -60,5 +68,7 @@ def test_impls_agree(spark, labeled):
     corpus = fx.contract(labeled).unionByName(junk)
     a = parse_tokens(corpus, tdim).select("doc_id", "gid")
     b = parse_tokens_pandas(corpus, tdim).select("doc_id", "gid")
+    c = parse_tokens_arrow(corpus, tdim).select("doc_id", "gid")
     assert a.count() == corpus.count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.exceptAll(c).count() == 0 and c.exceptAll(a).count() == 0
