@@ -283,6 +283,13 @@ def main(argv: list[str] | None = None) -> int:
             spark, tokens, fx.host_meta(spark), fx.template_dim(spark),
             dt_range, cfg, catalog=run_cat, apply_filters=not args.no_filters,
             units=units,
+            # dims are driver-resident configuration: skip the two
+            # per-run collect jobs (pure serial; matters for chunked
+            # make-dag-stdin batches that each call run_pipeline)
+            hosts=fx.host_rows(),
+            template_specs=[
+                (s["gid"], s["pattern"]) for s in fx.template_specs()
+            ],
         )
         if args.cmd == "make-evdb":
             res.sink_counts().show(truncate=False)

@@ -82,6 +82,13 @@ def template_specs() -> list[dict]:
     return specs
 
 
+def host_rows() -> list[tuple[str, str]]:
+    """Driver-resident (host, area) pairs — the list behind ``host_meta``.
+    Callers that run the pipeline repeatedly pass this to
+    ``run_pipeline(hosts=...)`` to skip the per-run collect job."""
+    return [(h, AREAS[i // 3]) for i, h in enumerate(_hosts())]
+
+
 def host_meta(spark: SparkSession) -> DataFrame:
     """Dimension table ``host_meta(host, area)``.
 
@@ -89,8 +96,7 @@ def host_meta(spark: SparkSession) -> DataFrame:
     (/root/reference/logdag/data/area_def.txt.sample; membership test at
     /root/reference/logdag/log2event.py:226-252).
     """
-    rows = [(h, AREAS[i // 3]) for i, h in enumerate(_hosts())]
-    return spark.createDataFrame(rows, "host string, area string")
+    return spark.createDataFrame(host_rows(), "host string, area string")
 
 
 def template_dim(spark: SparkSession) -> DataFrame:

@@ -240,29 +240,41 @@ class Catalog:
             except Exception:
                 return []
         root = self.path(table)
-        out = []
+        bydir: dict[str, list[str]] = {}
         for dirpath, _subs, files in os.walk(root):
             parts = sorted(f for f in files if f.startswith("part-"))
-            if not parts:
-                continue
-            rel = os.path.relpath(dirpath, root)
-            rows: int | None = 0
+            if parts:
+                bydir[dirpath] = parts
+
+        def file_rows(path: str) -> int | None:
             try:
                 import pyarrow.parquet as pq
 
-                for f in parts:
-                    rows += pq.ParquetFile(
-                        os.path.join(dirpath, f)
-                    ).metadata.num_rows
+                return pq.ParquetFile(path).metadata.num_rows
             except Exception:
-                rows = None
+                return None
+
+        # footer reads are independent I/O — a thread pool turns ~1 ms x
+        # n_files of pure-serial driver time (it sits between the stage
+        # write and the next stage's planning, i.e. directly on the
+        # Amdahl floor the scaling rule measures) into ~parallel I/O
+        from concurrent.futures import ThreadPoolExecutor
+
+        paths = [os.path.join(d, f) for d, fs in bydir.items() for f in fs]
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            rows_by_path = dict(zip(paths, pool.map(file_rows, paths)))
+
+        out = []
+        for dirpath, parts in bydir.items():
+            rel = os.path.relpath(dirpath, root)
+            counts = [rows_by_path[os.path.join(dirpath, f)] for f in parts]
             out.append({
                 "partition": "" if rel == "." else rel,
                 "files": len(parts),
                 "bytes": sum(
                     os.path.getsize(os.path.join(dirpath, f)) for f in parts
                 ),
-                "rows": rows,
+                "rows": None if any(c is None for c in counts) else sum(counts),
             })
         return sorted(out, key=lambda d: d["partition"])
 

@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def parse_tokens(df: DataFrame, template_dim: DataFrame) -> DataFrame:
+def parse_tokens(df: DataFrame, template_dim) -> DataFrame:
     """Assign ``gid`` by template match; unmatched rows get gid NULL.
 
     Plan shape: templates grouped by (length, wildcard-position mask);
@@ -72,10 +72,7 @@ def parse_tokens(df: DataFrame, template_dim: DataFrame) -> DataFrame:
     same-length-unmatched corpora.
     """
     spark = df.sparkSession
-    specs = sorted(
-        template_dim.select("gid", "length", "pattern").collect(),
-        key=lambda r: int(r["gid"]),
-    )
+    specs = sorted(collect_template_specs(template_dim), key=lambda t: t[0])
     if not specs:
         return df.withColumn("gid", F.lit(None).cast("int"))
 
@@ -84,10 +81,10 @@ def parse_tokens(df: DataFrame, template_dim: DataFrame) -> DataFrame:
     # positions, so matching one mask group is ONE exact lookup on the
     # row's masked token subsequence
     groups: dict[int, dict[tuple[int, ...], dict[tuple[int, ...], int]]] = {}
-    for r in specs:
-        length, gid = int(r["length"]), int(r["gid"])
-        mask = tuple(i for i, x in enumerate(r["pattern"]) if int(x) >= 0)
-        consts = tuple(int(r["pattern"][i]) for i in mask)
+    for gid, pattern in specs:
+        length = len(pattern)
+        mask = tuple(i for i, x in enumerate(pattern) if int(x) >= 0)
+        consts = tuple(int(pattern[i]) for i in mask)
         by_mask = groups.setdefault(length, {})
         # duplicate (mask, constants) templates: smallest gid wins
         by_mask.setdefault(mask, {}).setdefault(consts, gid)
@@ -144,17 +141,38 @@ def parse_tokens(df: DataFrame, template_dim: DataFrame) -> DataFrame:
     )
 
 
-def _template_groups(
-    template_dim: DataFrame,
-) -> dict[int, tuple[np.ndarray, np.ndarray]]:
+def collect_template_specs(template_dim) -> list[tuple[int, list[int]]]:
+    """Driver-resident ``(gid, pattern)`` spec list for the parse kernels.
+
+    Accepts a ``template_dim`` DataFrame (one collect — the dim is tiny)
+    or an already-collected sequence of dicts/Rows/pairs.  Callers that
+    run the pipeline repeatedly (chunked make-dag, the bench harness)
+    pass the pre-collected list so the per-run collect job — pure serial
+    driver time on the Amdahl floor — happens once, not once per chunk;
+    this mirrors the reference, which loads the template dictionary into
+    memory at startup (src_amulog.py:44-66) rather than per window."""
+    if isinstance(template_dim, DataFrame):
+        rows = template_dim.select("gid", "pattern").collect()
+        return [(int(r["gid"]), list(r["pattern"])) for r in rows]
+    out = []
+    for r in template_dim:
+        if isinstance(r, (tuple, list)):
+            g, p = r[0], r[1]
+        else:
+            g, p = r["gid"], r["pattern"]
+        out.append((int(g), list(p)))
+    return out
+
+
+def _template_groups(template_dim) -> dict[int, tuple[np.ndarray, np.ndarray]]:
     """length -> (gids ascending, pattern matrix) for the Python kernels.
 
     Patterns stay int64 (a wildcard is -1; token ids are int32-ranged so
     comparisons against an int32 row matrix broadcast without copies)."""
     specs = sorted(
         (
-            (int(r["gid"]), np.asarray(r["pattern"], dtype=np.int64))
-            for r in template_dim.select("gid", "pattern").collect()
+            (gid, np.asarray(pattern, dtype=np.int64))
+            for gid, pattern in collect_template_specs(template_dim)
         ),
         key=lambda t: t[0],
     )
@@ -167,7 +185,7 @@ def _template_groups(
     return by_len
 
 
-def parse_tokens_arrow(df: DataFrame, template_dim: DataFrame) -> DataFrame:
+def parse_tokens_arrow(df: DataFrame, template_dim) -> DataFrame:
     """Same semantics through a scalar Arrow UDF over the raw ListArray.
 
     The kernel never builds per-row Python objects: ``flatten()`` hands
@@ -190,6 +208,17 @@ def parse_tokens_arrow(df: DataFrame, template_dim: DataFrame) -> DataFrame:
             tok = tok.combine_chunks()
         if isinstance(n_tok, pa.ChunkedArray):
             n_tok = n_tok.combine_chunks()
+        if tok.null_count or n_tok.null_count:
+            # flatten() silently SKIPS null list entries, which would
+            # desynchronize the offset reconstruction below and assign
+            # every subsequent row a neighbour's tokens — fail loudly
+            # instead (the table contract forbids null tokens/n_tok,
+            # BASELINE input_hint; null_count is O(1) metadata)
+            raise ValueError(
+                "parse_tokens_arrow: null tokens/n_tok rows violate the "
+                "token-table contract (doc_id, tokens, n_tok, source all "
+                "non-null) — filter or repair upstream"
+            )
         lengths = n_tok.to_numpy(zero_copy_only=False).astype(np.int64)
         # values of the *logical* slice, in row order; int32, zero-copy
         flat = tok.flatten().to_numpy(zero_copy_only=False)
@@ -216,7 +245,7 @@ def parse_tokens_arrow(df: DataFrame, template_dim: DataFrame) -> DataFrame:
     return df.withColumn("gid", _match("tokens", "n_tok").cast("int"))
 
 
-def parse_tokens_pandas(df: DataFrame, template_dim: DataFrame) -> DataFrame:
+def parse_tokens_pandas(df: DataFrame, template_dim) -> DataFrame:
     """Same semantics through an Arrow-batched pandas UDF (no per-row Python)."""
     by_len = _template_groups(template_dim)
     if not by_len:

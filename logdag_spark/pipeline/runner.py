@@ -85,18 +85,31 @@ def run_pipeline(
         "events_ts", "binned", "event_dim", "unit_matrix", "dag_edges",
     ),
     units: list[str] | None = None,
+    hosts: list[tuple[str, str]] | None = None,
+    template_specs: list[tuple[int, list[int]]] | None = None,
 ) -> PipelineResult:
+    """``hosts`` / ``template_specs``: optional driver-resident copies of
+    the two dimension tables ((host, area) pairs / (gid, pattern) pairs).
+    Dimension metadata is configuration — the reference loads area
+    definitions and the template dictionary into memory at startup
+    (log2event.py:226-252, src_amulog.py:44-66) — so callers that run
+    many chunks (chunked make-dag, the bench harness) pass them once
+    instead of paying two pure-serial collect jobs per run.  When absent
+    they are collected from the DataFrames (the dims are tiny)."""
     cfg = cfg or PipelineConfig()
     # use_pandas_parse=True selects the vectorized Python kernel family:
     # the scalar-arrow_udf kernel on PySpark 4.x, the pandas_udf kernel
     # otherwise (same semantics, impls-agree-tested); False selects the
     # pure-Catalyst joins for Python-worker-free deployments
     if use_pandas_parse:
-        parse = (
+        _parse = (
             parse_tokens_arrow if hasattr(F, "arrow_udf") else parse_tokens_pandas
         )
     else:
-        parse = parse_tokens
+        _parse = parse_tokens
+
+    def parse(df: DataFrame, tdim: DataFrame) -> DataFrame:
+        return _parse(df, template_specs if template_specs is not None else tdim)
 
     def ck(df: DataFrame, name: str, partition_by=None) -> DataFrame:
         if catalog is None or name not in checkpoint_stages:
@@ -163,9 +176,11 @@ def run_pipeline(
     # unit bookkeeping is driver-side python (|windows| x |hosts| rows):
     # nbins and the grouped-kernel unit meta derive from the same specs
     # with zero extra Spark jobs
-    hosts = [
-        (r["host"], r["area"]) for r in host_meta.select("host", "area").collect()
-    ]
+    if hosts is None:
+        hosts = [
+            (r["host"], r["area"])
+            for r in host_meta.select("host", "area").collect()
+        ]
     specs = unit_specs(dt_range, cfg, hosts)
     if units is not None:
         # make-dag-stdin style unit restriction (reference

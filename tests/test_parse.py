@@ -56,6 +56,32 @@ def test_unmatched_rows_keep_null_gid(spark, impl):
     assert all(r["gid"] is None for r in out)
 
 
+def test_precollected_specs_equal_dataframe(spark, labeled):
+    """run_pipeline(template_specs=...) path: a driver-resident
+    (gid, pattern) list must parse identically to the DataFrame dim."""
+    tdim = fx.template_dim(spark)
+    specs = [(s["gid"], s["pattern"]) for s in fx.template_specs()]
+    corpus = fx.contract(labeled)
+    a = parse_tokens_arrow(corpus, tdim).select("doc_id", "gid")
+    b = parse_tokens_arrow(corpus, specs).select("doc_id", "gid")
+    c = parse_tokens(corpus, specs).select("doc_id", "gid")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.exceptAll(c).count() == 0 and c.exceptAll(a).count() == 0
+
+
+def test_arrow_kernel_rejects_null_tokens(spark):
+    """flatten() skips null list entries, which would silently shift every
+    later row onto a neighbour's tokens — the kernel must fail loudly on
+    contract-violating input instead."""
+    tdim = fx.template_dim(spark)
+    bad = spark.createDataFrame(
+        [("a", [1, 2, 3], 3, "log"), ("b", None, 3, "log")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    with pytest.raises(Exception, match="token-table contract"):
+        parse_tokens_arrow(bad, tdim).collect()
+
+
 def test_impls_agree(spark, labeled):
     tdim = fx.template_dim(spark)
     junk = spark.createDataFrame(
