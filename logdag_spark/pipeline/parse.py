@@ -31,6 +31,15 @@ Three interchangeable implementations (tests assert they agree):
   expression eval loses to numpy broadcasting for
   many-templates-per-row matching.)
 
+Both Python kernels share a per-length match plan (``_build_plan``):
+dense numpy broadcast compare while a length has few templates, and a
+mask-grouped hash lookup (gather mask columns -> rolling hash ->
+searchsorted -> exact verify) once it has many — real amulog
+dictionaries run to thousands of templates, where the dense compare's
+O(rows x templates x length) blows up (measured 58 ms vs 19.4 s per
+64k-row batch at 1200 templates; the hash is only an index, an exact
+constant check always confirms, so matching stays exact).
+
 Invariant checked by tests: the ``tokens`` column passes through
 bit-identical (per-row token-array equality, BASELINE.json).
 """
@@ -164,11 +173,41 @@ def collect_template_specs(template_dim) -> list[tuple[int, list[int]]]:
     return out
 
 
-def _template_groups(template_dim) -> dict[int, tuple[np.ndarray, np.ndarray]]:
-    """length -> (gids ascending, pattern matrix) for the Python kernels.
+# dense broadcast-compare up to this many templates per length; above it
+# the per-row cost O(T x L) loses to the mask-grouped hash lookup
+# O(masks x (|mask| + log T)) — real amulog dictionaries run to
+# thousands of templates, mostly piling onto a few common lengths
+_DENSE_MAX_PER_LENGTH = 16
+_HASH_MULT = np.uint64(0x9E3779B97F4A7C15)
+_NO_MATCH = np.int64(1) << np.int64(62)
 
-    Patterns stay int64 (a wildcard is -1; token ids are int32-ranged so
-    comparisons against an int32 row matrix broadcast without copies)."""
+
+def _key_hash(mat: np.ndarray) -> np.ndarray:
+    """Polynomial rolling hash of each row (uint64, wrapping)."""
+    h = np.zeros(mat.shape[0], dtype=np.uint64)
+    for j in range(mat.shape[1]):
+        h = h * _HASH_MULT + mat[:, j].astype(np.uint64)
+    return h
+
+
+def _build_plan(template_dim) -> dict[int, tuple]:
+    """Per-length match plan for the Python kernels.
+
+    length -> ("dense", gids, pats): templates few enough that one
+    numpy broadcast compare (wildcard = -1 matches anything) is cheapest.
+
+    length -> ("hashed", entries): mask-grouped exact lookup for large
+    dictionaries.  All templates sharing a wildcard-position mask are
+    distinguishable purely by their constants at the mask positions
+    (same decomposition as the Catalyst impl's broadcast joins), so each
+    mask group matches via gather-mask-columns -> rolling hash ->
+    searchsorted into the group's sorted key hashes -> exact verify
+    against the stored constants (hashing is an index, never the
+    decider).  A within-table hash collision (astronomically rare, but
+    it would shadow one key behind another) downgrades that mask group
+    to a dense entry at build time, keeping matching exact always.
+    Tie-break (smallest gid across all groups) is preserved by taking
+    the minimum candidate."""
     specs = sorted(
         (
             (gid, np.asarray(pattern, dtype=np.int64))
@@ -176,13 +215,83 @@ def _template_groups(template_dim) -> dict[int, tuple[np.ndarray, np.ndarray]]:
         ),
         key=lambda t: t[0],
     )
-    by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    plan: dict[int, tuple] = {}
     for length in {len(p) for _, p in specs}:
         group = [(g, p) for g, p in specs if len(p) == length]  # gid-ascending
-        gids = np.asarray([g for g, _ in group], dtype=np.int64)
-        pats = np.stack([p for _, p in group])  # (n_templates, length)
-        by_len[length] = (gids, pats)
-    return by_len
+        if len(group) <= _DENSE_MAX_PER_LENGTH:
+            gids = np.asarray([g for g, _ in group], dtype=np.int64)
+            pats = np.stack([p for _, p in group])  # (n_templates, length)
+            plan[length] = ("dense", gids, pats)
+            continue
+        by_mask: dict[tuple[int, ...], dict[tuple[int, ...], int]] = {}
+        for g, p in group:
+            mask = tuple(i for i, x in enumerate(p) if x >= 0)
+            consts = tuple(int(p[i]) for i in mask)
+            # duplicate (mask, constants): smallest gid wins (gid order)
+            by_mask.setdefault(mask, {}).setdefault(consts, g)
+        entries = []
+        for mask, cmap in sorted(
+            by_mask.items(), key=lambda kv: min(kv[1].values())
+        ):
+            maskpos = np.asarray(mask, dtype=np.int64)
+            gids_m = np.asarray(list(cmap.values()), dtype=np.int64)
+            keys_m = np.asarray(
+                [list(k) for k in cmap], dtype=np.int64
+            ).reshape(len(cmap), len(mask))
+            hashes = _key_hash(keys_m)
+            if np.unique(hashes).size != hashes.size:
+                # collision inside the table: dense-compare this group
+                entries.append(("dense_mask", maskpos, gids_m, keys_m))
+                continue
+            order = np.argsort(hashes)
+            entries.append(
+                ("hash_mask", maskpos, hashes[order], gids_m[order],
+                 keys_m[order])
+            )
+        plan[length] = ("hashed", entries)
+    return plan
+
+
+def _match_length(gather, entry) -> np.ndarray:
+    """Smallest matching gid per row (``_NO_MATCH`` = none) for one
+    length group.  ``gather(positions)`` returns the (n_rows, k) token
+    matrix at those positions — the arrow kernel gathers straight from
+    the flat values buffer, the pandas kernel slices its stacked matrix,
+    so the matching logic (and its tests) is shared."""
+    if entry[0] == "dense":
+        _, gids, pats = entry
+        mat = gather(np.arange(pats.shape[1]))
+        ok = (
+            (pats[None, :, :] == mat[:, None, :]) | (pats[None, :, :] < 0)
+        ).all(axis=2)
+        hit = ok.any(axis=1)
+        cand = np.full(mat.shape[0], _NO_MATCH)
+        cand[hit] = gids[ok.argmax(axis=1)[hit]]
+        return cand
+    best: np.ndarray | None = None
+    for sub_entry in entry[1]:
+        kind, maskpos = sub_entry[0], sub_entry[1]
+        sub = gather(maskpos)
+        n = sub.shape[0]
+        if kind == "dense_mask":
+            _, _, gids_m, keys_m = sub_entry
+            ok = (keys_m[None, :, :] == sub[:, None, :]).all(axis=2)
+            hit = ok.any(axis=1)
+            c = np.full(n, _NO_MATCH)
+            c[hit] = gids_m[ok.argmax(axis=1)[hit]]
+        elif maskpos.size == 0:
+            # all-wildcard template: matches every row of this length
+            c = np.full(n, sub_entry[3][0])
+        else:
+            _, _, h_sorted, gids_m, keys_m = sub_entry
+            h = _key_hash(sub)
+            pos = np.minimum(
+                np.searchsorted(h_sorted, h), h_sorted.size - 1
+            )
+            exact = (h_sorted[pos] == h) & (keys_m[pos] == sub).all(axis=1)
+            c = np.where(exact, gids_m[pos], _NO_MATCH)
+        best = c if best is None else np.minimum(best, c)
+    return best
 
 
 def parse_tokens_arrow(df: DataFrame, template_dim) -> DataFrame:
@@ -198,8 +307,8 @@ def parse_tokens_arrow(df: DataFrame, template_dim) -> DataFrame:
     never leaves the JVM, so the token-array pass-through invariant is
     structural.
     """
-    by_len = _template_groups(template_dim)
-    if not by_len:
+    plan = _build_plan(template_dim)
+    if not plan:
         return df.withColumn("gid", F.lit(None).cast("int"))
 
     @F.arrow_udf(T.IntegerType())
@@ -226,20 +335,21 @@ def parse_tokens_arrow(df: DataFrame, template_dim) -> DataFrame:
         offs[0] = 0
         np.cumsum(lengths, out=offs[1:])
         out = np.full(len(lengths), -1, dtype=np.int64)
-        for length, (gids, pats) in by_len.items():
+        for length, entry in plan.items():
             sel = np.nonzero(lengths == length)[0]
             if sel.size == 0:
                 continue
-            # (n_rows, length) gather from the flat buffer — the only
-            # per-group allocation; int32 rows vs int64 patterns
+
+            # (n_rows, k) gather straight from the flat buffer — the
+            # only per-group allocation; int32 rows vs int64 patterns
             # broadcast-compare without an upcast copy of the big side
-            mat = flat[offs[sel][:, None] + np.arange(length)]
-            ok = (
-                (pats[None, :, :] == mat[:, None, :]) | (pats[None, :, :] < 0)
-            ).all(axis=2)
-            hit = ok.any(axis=1)
+            def gather(cols, starts=offs[sel]):
+                return flat[starts[:, None] + cols]
+
+            cand = _match_length(gather, entry)
+            hit = cand < _NO_MATCH
             # smallest matching gid wins (same tie-break as parse_tokens)
-            out[sel[hit]] = gids[ok.argmax(axis=1)[hit]]
+            out[sel[hit]] = cand[hit]
         return pa.array(out.astype(np.int32), mask=(out < 0))
 
     return df.withColumn("gid", _match("tokens", "n_tok").cast("int"))
@@ -247,8 +357,8 @@ def parse_tokens_arrow(df: DataFrame, template_dim) -> DataFrame:
 
 def parse_tokens_pandas(df: DataFrame, template_dim) -> DataFrame:
     """Same semantics through an Arrow-batched pandas UDF (no per-row Python)."""
-    by_len = _template_groups(template_dim)
-    if not by_len:
+    plan = _build_plan(template_dim)
+    if not plan:
         return df.withColumn("gid", F.lit(None).cast("int"))
 
     @F.pandas_udf(T.IntegerType())
@@ -258,19 +368,19 @@ def parse_tokens_pandas(df: DataFrame, template_dim) -> DataFrame:
         # be one interpreted Python len() per row (~31M calls per bench
         # run, measured ~4% of the whole parse stage)
         lengths = n_tok.to_numpy()
-        for length, (gids, pats) in by_len.items():
+        for length, entry in plan.items():
             sel = np.nonzero(lengths == length)[0]
             if sel.size == 0:
                 continue
             mat = np.stack(tokens.iloc[sel].to_numpy())  # (n_rows, length)
-            # (n_rows, n_templates, length) broadcast compare; wildcard = -1
-            ok = ((pats[None, :, :] == mat[:, None, :]) | (pats[None, :, :] < 0)).all(
-                axis=2
-            )
-            any_hit = ok.any(axis=1)
+
+            def gather(cols, mat=mat):
+                return mat[:, cols]
+
+            cand = _match_length(gather, entry)
+            hit = cand < _NO_MATCH
             # smallest matching gid wins (same tie-break as parse_tokens)
-            first = ok.argmax(axis=1)
-            out[sel[any_hit]] = gids[first[any_hit]]
+            out[sel[hit]] = cand[hit]
         return pd.Series(out).where(pd.Series(out) >= 0).astype("Int32")
 
     return df.withColumn("gid", _match("tokens", "n_tok").cast("int"))

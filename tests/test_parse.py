@@ -56,6 +56,60 @@ def test_unmatched_rows_keep_null_gid(spark, impl):
     assert all(r["gid"] is None for r in out)
 
 
+def test_large_dictionary_hashed_path(spark):
+    """Above ``_DENSE_MAX_PER_LENGTH`` templates per length the Python
+    kernels switch from the dense broadcast compare to mask-grouped hash
+    lookup (real amulog dictionaries run to thousands of templates —
+    measured 58 ms vs 19.4 s per 64k-row batch at 1200 templates).  All
+    three impls must agree on a dictionary big enough to force the
+    hashed plan, including the all-wildcard fallback (length 7) and
+    junk rows that match nothing (length 9 has no wildcard)."""
+    from logdag_spark.pipeline.parse import _DENSE_MAX_PER_LENGTH, _build_plan
+
+    specs, gid = [], 0
+    for L, masks, add_wild in (
+        (7, [(0, 1, 2), (0, 4), (3, 5, 6)], True),
+        (9, [(1, 2), (0, 5, 7), (4, 8)], False),
+    ):
+        for mi, mask in enumerate(masks):
+            for k in range(30):
+                pat = [-1] * L
+                for j, pos in enumerate(mask):
+                    pat[pos] = 10_000 + L * 997 + mi * 311 + k * 13 + j
+                specs.append((gid, pat))
+                gid += 1
+        if add_wild:
+            specs.append((gid, [-1] * L))
+            gid += 1
+    plan = _build_plan(specs)
+    assert len(specs) > 2 * _DENSE_MAX_PER_LENGTH
+    assert plan[7][0] == "hashed" and plan[9][0] == "hashed"
+
+    rows = []
+    for g, pat in specs:
+        toks = [v if v >= 0 else 7 + ((g * 31 + i) % 50) for i, v in enumerate(pat)]
+        rows.append((f"m-{g}", toks, len(toks), "log"))
+    for j in range(40):  # junk: matches only the length-7 wildcard
+        rows.append((f"j7-{j}", [j + 1] * 7, 7, "log"))
+        rows.append((f"j9-{j}", [j + 1] * 9, 9, "log"))
+    corpus = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    a = parse_tokens(corpus, specs).select("doc_id", "gid")
+    b = parse_tokens_arrow(corpus, specs).select("doc_id", "gid")
+    c = parse_tokens_pandas(corpus, specs).select("doc_id", "gid")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.exceptAll(c).count() == 0 and c.exceptAll(a).count() == 0
+    got = {r["doc_id"]: r["gid"] for r in b.collect()}
+    wild7 = next(g for g, p in specs if len(p) == 7 and all(x < 0 for x in p))
+    for g, pat in specs:
+        if all(x < 0 for x in pat):
+            continue
+        assert got[f"m-{g}"] == g, f"template row {g} got {got[f'm-{g}']}"
+    assert all(got[f"j7-{j}"] == wild7 for j in range(40))
+    assert all(got[f"j9-{j}"] is None for j in range(40))
+
+
 def test_precollected_specs_equal_dataframe(spark, labeled):
     """run_pipeline(template_specs=...) path: a driver-resident
     (gid, pattern) list must parse identically to the DataFrame dim."""
