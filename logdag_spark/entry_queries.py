@@ -2708,6 +2708,185 @@ def q_anonymize_roundtrip(spark, sf_dir):
 SQL_ANON_ROUNDTRIP = _SQL_DAILY_EDGES + "\nSELECT unit, k1, k2, r FROM kept"
 
 
+# ---------------------------------------------------------------------------
+# round-4: corpus-curation surface (operators/curation.py)
+
+# shared SQL fragment: tokenized documents + token n-grams (non-distinct,
+# empty when the doc has < n tokens — mirrors curation.token_ngrams)
+_SQL_DOC_TOKS = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_'']+'),
+                     x -> x <> '') AS toks
+  FROM documents
+)"""
+
+
+def _sql_ngrams(n: int) -> str:
+    return (
+        f"SELECT doc_id, unnest(CASE WHEN len(toks) >= {n} THEN "
+        f"list_transform(range(1, len(toks) - {n} + 2), "
+        f"i -> array_to_string(toks[i:i+{n - 1}], ' ')) "
+        f"ELSE []::varchar[] END) AS gram FROM t"
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (curation.decontaminate): docs with
+    doc_id % 11 == 0 play the eval suite; the remainder is the training
+    corpus; a corpus doc is contaminated when any of its token 4-grams
+    appears in the eval suite.  The eval gram dictionary is broadcast —
+    the corpus side's only exchange is the per-doc hit count."""
+    from logdag_spark.operators.curation import decontaminate
+
+    d = _load(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 11 == 0)
+    corpus = d.where(F.col("doc_id") % 11 != 0)
+    return decontaminate(corpus, bench, n=4)
+
+
+SQL_DECONTAMINATE = _SQL_DOC_TOKS + f""",
+g AS ({_sql_ngrams(4)}),
+bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 11 = 0),
+cg AS (SELECT doc_id, gram FROM g WHERE doc_id % 11 <> 0),
+h AS (SELECT doc_id, count(*) AS n_hits FROM cg JOIN bg USING (gram) GROUP BY 1)
+SELECT d.doc_id, coalesce(h.n_hits, 0)::bigint AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN h USING (doc_id)
+WHERE d.doc_id % 11 <> 0
+"""
+
+
+def q_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition quality gate (curation.repetition_filter):
+    duplicate-token fraction and dominant-bigram fraction per doc, keep
+    verdict at (0.25, 0.05) on the 6-decimal-rounded fractions."""
+    from logdag_spark.operators.curation import repetition_filter
+
+    d = _load(spark, sf_dir, "documents")
+    return repetition_filter(
+        d, max_dup_token_frac=0.25, max_top_bigram_frac=0.05
+    )
+
+
+SQL_REPETITION = _SQL_DOC_TOKS + f""",
+base AS (
+  SELECT doc_id, len(toks)::int AS n_tok,
+         round(CASE WHEN len(toks) > 0
+               THEN 1 - len(list_distinct(toks))::double / len(toks)
+               ELSE 0.0 END, 6) AS dup_token_frac
+  FROM t
+),
+bg AS ({_sql_ngrams(2)}),
+bc AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2),
+bt AS (
+  SELECT doc_id, round(max(c)::double / sum(c)::double, 6) AS top_bigram_frac
+  FROM bc GROUP BY 1
+)
+SELECT b.doc_id, b.n_tok, b.dup_token_frac,
+       coalesce(bt.top_bigram_frac, 0.0) AS top_bigram_frac,
+       (b.dup_token_frac <= 0.25
+        AND coalesce(bt.top_bigram_frac, 0.0) <= 0.05) AS keep
+FROM base b LEFT JOIN bt USING (doc_id)
+"""
+
+def q_pii_redact(spark, sf_dir):
+    """PII-style redaction (curation.pii_redact) over deterministically
+    augmented text (the word-soup corpus has no PII of its own)."""
+    from logdag_spark.operators.curation import pii_redact
+
+    d = _load(spark, sf_dir, "documents")
+    ids = F.col("doc_id").cast("string")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" contact user"), ids, F.lit("@example.com now")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(
+                F.lit(" from host 10."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".0."),
+                (F.col("doc_id") % 250).cast("string"),
+                F.lit(" ok"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(F.lit(" account 90210"), F.lpad(ids, 6, "0"), F.lit(" end")),
+        )
+        .otherwise(F.lit("")),
+    )
+    return pii_redact(d.withColumn("aug", aug), col="aug").select(
+        "doc_id", "n_emails", "n_ips", "n_longnums", "redacted"
+    )
+
+
+SQL_PII_REDACT = """
+WITH a AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@example.com now'
+           WHEN doc_id % 5 = 1 THEN ' from host 10.' || (doc_id % 200) || '.0.'
+                                    || (doc_id % 250) || ' ok'
+           WHEN doc_id % 5 = 2 THEN ' account 90210' || lpad(doc_id::varchar, 6, '0')
+                                    || ' end'
+           ELSE '' END AS aug
+  FROM documents
+),
+r AS (
+  SELECT doc_id, aug,
+         regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g') AS t1
+  FROM a
+),
+r2 AS (
+  SELECT *, regexp_replace(t1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                           '<IP>', 'g') AS t2
+  FROM r
+)
+SELECT doc_id,
+       len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::int AS n_emails,
+       len(regexp_extract_all(t1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::int AS n_ips,
+       len(regexp_extract_all(t2, '\\b\\d{9,}\\b'))::int AS n_longnums,
+       regexp_replace(t2, '\\b\\d{9,}\\b', '<NUM>', 'g') AS redacted
+FROM r2
+"""
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style embedding dedup (curation.semantic_dedup) within
+    the curated ``label`` clusters at cosine >= 0.35 (the label column
+    stands in for the kmeans/IVF cell id the scale path would supply);
+    dup_of is -1 for survivors so the output carries no NULLs."""
+    from logdag_spark.operators.curation import semantic_dedup
+
+    e = _load(spark, sf_dir, "embeddings")
+    out = semantic_dedup(e, threshold=0.35, cluster_col="label")
+    return out.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        F.coalesce("dup_of", F.lit(-1)).cast("long").alias("dup_of"),
+        "keep",
+    )
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH dom AS (
+  SELECT a.vec_id AS vid, min(b.vec_id) AS dup_of
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id > b.vec_id
+  WHERE round({_SQL_COS.format(a='a.embedding', b='b.embedding')}, 6) >= 0.35
+  GROUP BY 1
+)
+SELECT e.vec_id, e.label, coalesce(d.dup_of, -1)::bigint AS dup_of,
+       d.dup_of IS NULL AS keep
+FROM embeddings e LEFT JOIN dom d ON d.vid = e.vec_id
+"""
+
+
 QUERIES = {
     # §2.4 aggregations / discretize
     "tumbling_count_1m": (q_tumbling_count_1m, SQL_TUMBLING),
@@ -2781,6 +2960,11 @@ QUERIES = {
     "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "stats_by_threshold": (q_stats_by_threshold, SQL_STATS_BY_TH),
     "relabel_events": (q_relabel_events, SQL_RELABEL),
+    # round-4 corpus-curation surface
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "repetition_filter": (q_repetition_filter, SQL_REPETITION),
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     # Spark-only (rows-only checks)
     "kmeans_daily": (q_kmeans_daily, None),
     "anomaly_iforest": (q_anomaly_iforest, None),

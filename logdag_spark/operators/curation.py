@@ -1,0 +1,270 @@
+"""Corpus-curation operators for the LLM training-data surface.
+
+The reference bounds its corpora to syslog archives; a 100 TB training
+pipeline additionally needs the curation passes that decide *which*
+documents enter training at all: benchmark decontamination (drop
+training docs that leak evaluation n-grams), repetition-based quality
+filtering (Gopher-style duplicate-token / dominant-n-gram rules),
+PII-style redaction, and semantic (embedding-space) deduplication
+(SemDeDup-style: within-cluster cosine pruning).  All four are
+DataFrame-native: column expressions and hash-aggregate / broadcast
+shapes, no Python in the hot path, exact DuckDB oracles in
+entry_queries.py.
+
+Scale shapes (the design decisions that survive 1000 executors):
+
+* decontaminate — the benchmark side is SMALL by construction (an eval
+  suite is 1e4-1e6 docs), so its distinct n-gram set is broadcast and
+  the corpus side never shuffles by gram; the only shuffle is the
+  per-doc hit count, which partial (map-side) aggregation collapses to
+  <= 1 row per document BEFORE the exchange because a document's
+  exploded grams stay inside its map partition.
+* repetition_stats — per-document aggregates only: the (id, gram)
+  shuffle is bounded by corpus token count and partial-aggregates the
+  heavy duplicate grams map-side; no global state.
+* pii_redact — a narrow projection (regexp_replace / regexp_extract_all
+  chains, whole-stage codegen); zero shuffles.
+* semantic_dedup — the pair join is confined WITHIN a cluster column
+  the caller supplies (an IVF cell / kmeans cluster at scale, so the
+  quadratic term is bounded by max cluster size, the SemDeDup recipe);
+  the L2-normalized compact frame is persisted because a self-join
+  re-executes the whole upstream plan per alias (Catalyst does not
+  reuse the exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from logdag_spark.operators.dedup import shingles
+from logdag_spark.operators.similarity import dot, normalize
+from logdag_spark.operators.text import tokenize
+
+# ------------------------------------------------------------ decontaminate
+
+
+def token_ngrams(col: str = "text", n: int = 3) -> Column:
+    """NON-distinct token n-gram strings; empty array when the document
+    has fewer than ``n`` tokens (no partial grams — a 2-token doc has no
+    3-gram, unlike :func:`~logdag_spark.operators.dedup.shingles`, whose
+    clamped slice emits short tail grams for MinHash stability).
+
+    Let-bound token array (single-element transform) like ``shingles``:
+    inlining the tokenize expression into the per-index lambda re-runs
+    the regex split once per gram — O(tokens²) per row.
+    """
+
+    def per_doc(toks: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(toks) - n)
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.flatten(F.transform(F.array(tokenize(col)), per_doc))
+
+
+def benchmark_ngrams(
+    benchmark: DataFrame, n: int = 3, col: str = "text"
+) -> DataFrame:
+    """Distinct n-grams of the benchmark/eval suite — the contamination
+    dictionary.  Output: one ``gram`` column."""
+    return (
+        benchmark.select(F.explode(token_ngrams(col, n)).alias("gram")).distinct()
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many of its
+    n-gram *positions* hit an n-gram that appears anywhere in the
+    benchmark set, and the boolean contamination verdict.
+
+    Output: (id_col, n_hits, contaminated).  ``n_hits`` counts gram
+    positions (not distinct grams) so a doc that repeats a leaked gram
+    scores higher — the signal downstream thresholds actually want.
+
+    The benchmark gram dictionary is broadcast (eval suites are small);
+    the corpus side's only exchange is the per-document count, already
+    collapsed map-side because one document's exploded grams never leave
+    its partition.
+    """
+    grams = benchmark_ngrams(benchmark, n, col)
+    hits = (
+        corpus.select(F.col(id_col).alias("_id"), F.explode(token_ngrams(col, n)).alias("gram"))
+        .join(F.broadcast(grams), "gram")
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# --------------------------------------------------------- repetition filter
+
+
+def repetition_stats(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition diagnostics per document:
+
+    * ``n_tok`` — token count;
+    * ``dup_token_frac`` — 1 - distinct/total tokens (0 when empty);
+    * ``top_bigram_frac`` — occurrences of the single most frequent
+      bigram / total bigram positions (0 when < 2 tokens), ties by count
+      only (the max is over counts, no tie-break needed).
+
+    Fractions are rounded to 6 decimals so the double-precision division
+    matches the SQL oracle bit-for-bit after rounding.
+    """
+    toks = tokenize(col)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tok"),
+        F.round(
+            F.when(
+                F.size(toks) > 0,
+                1.0 - F.size(F.array_distinct(toks)) / F.size(toks),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_token_frac"),
+    )
+    bi = (
+        df.select(F.col(id_col).alias("_id"), F.explode(token_ngrams(col, 2)).alias("g"))
+        .groupBy("_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("total_c"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.round((F.col("top_c") / F.col("total_c")).cast("double"), 6).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+    return base.join(bi, id_col, "left").withColumn(
+        "top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0))
+    )
+
+
+def repetition_filter(
+    df: DataFrame,
+    max_dup_token_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.1,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Repetition-based quality gate: stats plus the keep verdict.
+    Thresholds compare the ROUNDED fractions so Spark and the SQL oracle
+    decide borderline docs identically."""
+    s = repetition_stats(df, col, id_col)
+    return s.withColumn(
+        "keep",
+        (F.col("dup_token_frac") <= max_dup_token_frac)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac),
+    )
+
+
+# --------------------------------------------------------------- PII redact
+
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): char classes, bounded repeats, \b, \d.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+LONGNUM_RE = r"\b\d{9,}\b"
+
+
+def pii_redact(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII-style masking: emails -> ``<EMAIL>``, IPv4 -> ``<IP>``, long
+    (>= 9 digit) numbers -> ``<NUM>``, applied in that order; counts are
+    taken per stage on the stage's INPUT text so an address consumed by
+    the email rule is not double-counted by the number rule.
+
+    Output: (id_col, n_emails, n_ips, n_longnums, redacted).  Pure
+    narrow projection — regexp chains inside whole-stage codegen, no
+    shuffle, no UDF.
+    """
+    t0 = F.col(col)
+    t1 = F.regexp_replace(t0, EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, IPV4_RE, "<IP>")
+    t3 = F.regexp_replace(t2, LONGNUM_RE, "<NUM>")
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(t0, F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(t1, F.lit(IPV4_RE), F.lit(0))).alias("n_ips"),
+        F.size(F.regexp_extract_all(t2, F.lit(LONGNUM_RE), F.lit(0))).alias("n_longnums"),
+        t3.alias("redacted"),
+    )
+
+
+# ----------------------------------------------------------- semantic dedup
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style embedding dedup: within each cluster, a vector is
+    a duplicate iff some SMALLER id in the same cluster has cosine
+    similarity >= ``threshold`` with it (decided on the 6-decimal-rounded
+    cosine, matching the SQL oracle).  ``dup_of`` is the smallest such
+    dominating id; ``keep`` marks survivors.
+
+    The "exists a smaller id" rule (rather than greedy sequential
+    pruning) is deliberately order-free: it is decidable per pair, needs
+    one aggregation, and is exactly expressible in SQL — the published
+    SemDeDup keeps one arbitrary point per similarity cluster, and
+    min-id domination is that choice made deterministic.
+
+    ``cluster_col`` bounds the quadratic pair join: pass a kmeans/IVF
+    cell id at corpus scale (``similarity.kmeans_centroids`` +
+    ``assign_cluster``), a curated label for exact-oracle tests.  The
+    compact L2-normalized frame is persisted — a self-join otherwise
+    re-executes the upstream plan once per alias (no exchange reuse).
+
+    Output: (id_col, cluster_col, dup_of, keep).
+    """
+    norm = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(cluster_col).alias("_cl"),
+        normalize(F.col(vec_col)).alias("_nv"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    a, b = norm.alias("a"), norm.alias("b")
+    dom = (
+        a.join(
+            b,
+            (F.col("a._cl") == F.col("b._cl")) & (F.col("a._id") > F.col("b._id")),
+        )
+        .where(F.round(dot(F.col("a._nv"), F.col("b._nv")), 6) >= threshold)
+        .groupBy(F.col("a._id").alias("_id"))
+        .agg(F.min(F.col("b._id")).alias("dup_of"))
+    )
+    return (
+        norm.select("_id", "_cl")
+        .join(dom, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_cl").alias(cluster_col),
+            "dup_of",
+            F.col("dup_of").isNull().alias("keep"),
+        )
+    )

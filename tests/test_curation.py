@@ -1,0 +1,117 @@
+"""Unit tests for the corpus-curation operators (operators/curation.py):
+planted-case semantics for decontamination, repetition filtering, PII
+redaction, and semantic (embedding) dedup.  The DuckDB oracle parity for
+the same operators runs in test_entry.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from logdag_spark.operators.curation import (
+    decontaminate,
+    pii_redact,
+    repetition_filter,
+    repetition_stats,
+    semantic_dedup,
+    token_ngrams,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_ngrams_short_docs_empty(spark):
+    df = _docs(spark, [(1, "one two"), (2, "a b c d")])
+    out = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", token_ngrams("text", 3).alias("g")).collect()
+    }
+    assert out[1] == []  # < n tokens -> no partial grams
+    assert out[2] == ["a b c", "b c d"]
+
+
+def test_decontaminate_flags_leaked_grams(spark):
+    bench = _docs(spark, [(100, "the secret eval answer key")])
+    corpus = _docs(
+        spark,
+        [
+            (1, "totally clean document text here"),
+            (2, "contains the secret eval answer verbatim"),
+            (3, "secret eval answer key secret eval answer key"),  # repeats
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in decontaminate(corpus, bench, n=4).collect()
+    }
+    assert out[1] == (0, False)
+    assert out[2] == (1, True)  # one 4-gram position hits
+    # repeated leak counts per POSITION, not per distinct gram
+    assert out[3][0] > out[2][0] and out[3][1]
+
+
+def test_repetition_stats_and_filter(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "spam spam spam spam"),  # one token repeated
+            (2, "all distinct tokens here now"),
+            (3, ""),  # empty doc
+        ],
+    )
+    stats = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+    assert stats[1]["dup_token_frac"] == 0.75 and stats[1]["top_bigram_frac"] == 1.0
+    assert stats[2]["dup_token_frac"] == 0.0
+    assert stats[3]["n_tok"] == 0 and stats[3]["top_bigram_frac"] == 0.0
+    kept = {
+        r["doc_id"]: r["keep"]
+        for r in repetition_filter(df, 0.3, 0.5).collect()
+    }
+    assert kept == {1: False, 2: True, 3: True}
+
+
+def test_pii_redact_counts_and_masks(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "mail a@b.co and c.d@e-f.org please"),
+            (2, "host 10.1.2.3 and 192.168.0.1 up"),
+            (3, "card 1234567890123456 ok, short 12345 kept"),
+            (4, "mixed x@y.io at 8.8.8.8 id 999999999"),
+            (5, "nothing to hide"),
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in pii_redact(df).collect()}
+    assert out[1]["n_emails"] == 2 and out[1]["redacted"] == "mail <EMAIL> and <EMAIL> please"
+    assert out[2]["n_ips"] == 2 and "<IP>" in out[2]["redacted"]
+    assert out[3]["n_longnums"] == 1 and "12345 kept" in out[3]["redacted"]
+    assert (out[4]["n_emails"], out[4]["n_ips"], out[4]["n_longnums"]) == (1, 1, 1)
+    assert out[5]["redacted"] == "nothing to hide"
+    # the email rule consumes its digits before the number rule sees them
+    df2 = _docs(spark, [(9, "u123456789@example.com")])
+    r9 = pii_redact(df2).collect()[0]
+    assert (r9["n_emails"], r9["n_longnums"], r9["redacted"]) == (1, 0, "<EMAIL>")
+
+
+def test_semantic_dedup_within_cluster_min_id(spark):
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [1.0, 0.0]),     # dup of 1 (same cluster)
+        (3, 0, [0.999, 0.01]),  # near-dup of 1 and 2 -> dup_of = 1
+        (4, 1, [1.0, 0.0]),     # identical direction but OTHER cluster
+        (5, 0, [0.0, 1.0]),     # orthogonal -> kept
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    out = {
+        r["vec_id"]: (r["dup_of"], r["keep"])
+        for r in semantic_dedup(df, threshold=0.95, cluster_col="label").collect()
+    }
+    assert out[1] == (None, True)
+    assert out[2] == (1, False)
+    assert out[3] == (1, False)
+    assert out[4] == (None, True)
+    assert out[5] == (None, True)
