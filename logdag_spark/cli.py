@@ -41,6 +41,9 @@
     python -m logdag_spark sample-docs  --input DOCS_PARQUET [--method split|sample] [--rate 0.1]
     python -m logdag_spark pack-docs    --input DOCS_PARQUET [--capacity 512]
     python -m logdag_spark vocab        --input DOCS_PARQUET [--k 100]
+    python -m logdag_spark curate-docs  --input PARQUET
+        [--method decontaminate|repetition|redact|semantic]
+        [--benchmark EVAL_PARQUET] [--threshold 0.9] [--cluster-col label]
 
 Designed for ``spark-submit --py-files logdag_spark.zip`` on a cluster;
 locally it builds its own session.
@@ -106,6 +109,14 @@ def _common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--identifiers", nargs="*", default=None,
                    help="add-lids event identifiers")
     p.add_argument("--capacity", type=int, default=512, help="pack-docs tokens per bin")
+    p.add_argument("--benchmark", default=None,
+                   help="curate-docs decontaminate: eval-suite docs parquet")
+    p.add_argument("--threshold", type=float, default=0.9,
+                   help="curate-docs semantic: cosine dup threshold")
+    p.add_argument("--cluster-col", default="label",
+                   help="curate-docs semantic: cluster column bounding the pair join")
+    p.add_argument("--ngram", type=int, default=4,
+                   help="curate-docs decontaminate: token n-gram size")
     p.add_argument(
         "--conditions", nargs="*", default=[],
         help="show-edge search conditions: node=EID gid=KEY host=SUBSTR "
@@ -134,7 +145,7 @@ def main(argv: list[str] | None = None) -> int:
         "search-trouble", "show-trouble", "show-match", "show-match-all",
         "show-match-info", "show-snmp-stats", "drop-features",
         "dump-input", "lineage", "dedup-docs", "ann-topk",
-        "sample-docs", "pack-docs", "vocab",
+        "sample-docs", "pack-docs", "vocab", "curate-docs",
     ):
         _common(sub.add_parser(cmd))
     args = ap.parse_args(argv)
@@ -653,6 +664,33 @@ def main(argv: list[str] | None = None) -> int:
         docs = spark.read.parquet(args.input)
         out = vocab_topk(docs, k=k)
         out.show(k, truncate=False)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+    elif args.cmd == "curate-docs":
+        from logdag_spark.operators import curation
+
+        method = args.method or "repetition"
+        if method not in ("decontaminate", "repetition", "redact", "semantic"):
+            ap.error(
+                "curate-docs --method must be "
+                f"decontaminate|repetition|redact|semantic, got {method!r}"
+            )
+        data = spark.read.parquet(args.input)
+        if method == "decontaminate":
+            if not args.benchmark:
+                ap.error("curate-docs --method decontaminate requires --benchmark")
+            bench = spark.read.parquet(args.benchmark)
+            out = curation.decontaminate(data, bench, n=args.ngram)
+        elif method == "repetition":
+            out = curation.repetition_filter(data)
+        elif method == "redact":
+            out = curation.pii_redact(data)
+        else:  # semantic — input is an embeddings parquet
+            out = curation.semantic_dedup(
+                data, threshold=args.threshold, cluster_col=args.cluster_col
+            )
+        out.show(100, truncate=False)
         if args.out:
             out.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")

@@ -261,16 +261,23 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 11,
+    tol: float = 1e-4,
 ):
     """Spherical k-means centroids for IVF indexing (numpy (k, dim) array,
     L2-normalized rows).
 
-    Distributed Lloyd's: assignment is an Arrow-batched ``pandas_udf``
-    (one numpy matmul per batch against the broadcast centroid matrix —
-    k·dim floats shipped in the closure, never a k×N row explosion), the
-    mean-recompute is JVM-side ``posexplode`` + hash-agg, and only the
-    k·dim centroid cells are ever collected.  Init is deterministic: the
-    k corpus rows with the smallest ``xxhash64(id, seed)``.
+    Distributed Lloyd's, one single-stage job per iteration: a
+    ``mapInPandas`` kernel assigns each Arrow batch against the broadcast
+    centroid matrix (one numpy matmul; k·dim floats in the closure, never
+    a k×N row explosion) and emits its per-cluster partial sums — <= k
+    rows per partition, collected directly with NO shuffle (the earlier
+    posexplode + hash-agg recompute paid a dim×N-row exchange and a
+    second stage per iteration just to produce the same k×dim cells).
+    The driver combines partials (bounded: k·dim·partitions) and stops
+    early once the max centroid shift drops below ``tol`` — on clustered
+    data Lloyd's converges in 2-3 rounds, and each saved round is a saved
+    corpus pass.  Init is deterministic: the k corpus rows with the
+    smallest ``xxhash64(id, seed)``.
     """
 
     def _normalize_rows(m: "np.ndarray") -> "np.ndarray":
@@ -300,24 +307,44 @@ def kmeans_centroids(
     vecs = df.select(F.col(vec_col).alias("_v")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+
+    def _partial_sums(centroids: "np.ndarray"):
+        C = np.asarray(centroids, dtype=np.float64)
+
+        def fn(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+                n = np.linalg.norm(m, axis=1, keepdims=True)
+                n[n == 0] = 1.0
+                a = (m / n @ C.T).argmax(axis=1)
+                rows = [
+                    (int(cl), int((a == cl).sum()), m[a == cl].sum(axis=0).tolist())
+                    for cl in np.unique(a)
+                ]
+                yield pd.DataFrame(rows, columns=["cluster", "c", "s"])
+
+        return fn
+
     try:
         for _ in range(n_iter):
-            assigned = vecs.withColumn("cluster", assign_cluster(cent)(F.col("_v")))
-            sums = (
-                assigned.select("cluster", F.posexplode("_v").alias("pos", "x"))
-                .groupBy("cluster", "pos")
-                .agg(F.sum(F.col("x").cast("double")).alias("s"), F.count("*").alias("c"))
-                .collect()
-            )
+            parts = vecs.mapInPandas(
+                _partial_sums(cent), "cluster int, c long, s array<double>"
+            ).collect()
             new = cent.copy()  # empty clusters keep their previous centroid
             acc = np.zeros((n_clusters, dim))
             cnt = np.zeros(n_clusters)
-            for r in sums:
-                acc[r["cluster"], r["pos"]] = r["s"]
-                cnt[r["cluster"]] = r["c"]
+            for r in parts:
+                acc[r["cluster"]] += np.asarray(r["s"])
+                cnt[r["cluster"]] += r["c"]
             nonempty = cnt > 0
             new[nonempty] = acc[nonempty] / cnt[nonempty, None]
-            cent = _normalize_rows(new)
+            new = _normalize_rows(new)
+            shift = float(np.abs(new - cent).max())
+            cent = new
+            if shift < tol:
+                break
     finally:
         vecs.unpersist()
     return cent

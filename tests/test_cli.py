@@ -313,3 +313,29 @@ def test_snmp_stats_and_drop_features_last(cli_run, spark, warehouse, capsys):
     # idempotent: a second drop reports absent and exits cleanly
     assert cli_run("drop-features", "--warehouse", warehouse) == 0
     assert "dag_edges: absent" in capsys.readouterr().out
+
+
+def test_curate_docs_commands(cli_run, spark, sf001_dir, tmp_path):
+    """curate-docs drives all four curation methods; decontaminate
+    requires --benchmark and loudly rejects typo'd methods."""
+    docs = f"{sf001_dir}/documents.parquet"
+    emb = f"{sf001_dir}/embeddings.parquet"
+    bench = str(tmp_path / "bench.parquet")
+    spark.read.parquet(docs).limit(3).write.parquet(bench)
+
+    out = str(tmp_path / "decon.parquet")
+    assert cli_run("curate-docs", "--input", docs, "--method", "decontaminate",
+                   "--benchmark", bench, "--out", out) == 0
+    got = spark.read.parquet(out)
+    assert {"n_hits", "contaminated"} <= set(got.columns)
+    assert got.count() == spark.read.parquet(docs).count()
+
+    assert cli_run("curate-docs", "--input", docs, "--method", "repetition") == 0
+    assert cli_run("curate-docs", "--input", docs, "--method", "redact") == 0
+    assert cli_run("curate-docs", "--input", emb, "--method", "semantic",
+                   "--threshold", "0.3") == 0
+
+    with pytest.raises(SystemExit):
+        cli_run("curate-docs", "--input", docs, "--method", "nope")
+    with pytest.raises(SystemExit):
+        cli_run("curate-docs", "--input", docs, "--method", "decontaminate")
