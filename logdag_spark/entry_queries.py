@@ -2887,6 +2887,79 @@ FROM embeddings e LEFT JOIN dom d ON d.vid = e.vec_id
 """
 
 
+def q_asof_last_error(spark, sf_dir):
+    """As-of join (operators/temporal.py): every click event picks up the
+    most recent error event's value at-or-before it for the same user —
+    union + carry-forward window (one shuffle on user_id, no join
+    explosion); DuckDB's native ASOF LEFT JOIN is the oracle.  Unmatched
+    clicks surface as the epoch / -1 sentinels so the output is
+    NULL-free."""
+    from logdag_spark.operators.temporal import asof_join
+
+    ev = _load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(clicks, errors, on="user_id", value_cols=["value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce("ts_r", F.lit("1970-01-01").cast("timestamp")).alias("err_ts"),
+        F.round(F.coalesce("value_r", F.lit(-1.0)), 6).alias("err_val"),
+    )
+
+
+SQL_ASOF_LAST_ERROR = """
+SELECT c.event_id, c.user_id, c.ts,
+       coalesce(e.ts, TIMESTAMP '1970-01-01') AS err_ts,
+       round(coalesce(e.value, -1.0), 6) AS err_val
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error') e
+  ON c.user_id = e.user_id AND c.ts >= e.ts
+"""
+
+
+def q_session_stats_6h(spark, sf_dir):
+    """Gap-based sessionization (operators/temporal.py): per-user
+    sessions with a 6-hour inactivity gap via the engine-native
+    ``session_window`` (same operator sessionizes a watermarked stream);
+    the oracle replicates it as gaps-and-islands SQL."""
+    from logdag_spark.operators.temporal import sessionize
+
+    ev = _load(spark, sf_dir, "events")
+    out = sessionize(
+        ev, gap="6 hours", key_cols=("user_id",),
+        aggs=[F.round(F.sum("value"), 6).alias("total_val")],
+    )
+    return out.select(
+        "user_id", "session_start", "session_end", "n_events", "total_val"
+    )
+
+
+SQL_SESSION_STATS = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 6 HOUR AS session_end,
+       count(*)::bigint AS n_events, round(sum(value), 6) AS total_val
+FROM s GROUP BY user_id, sid
+"""
+
+
 QUERIES = {
     # §2.4 aggregations / discretize
     "tumbling_count_1m": (q_tumbling_count_1m, SQL_TUMBLING),
@@ -2965,6 +3038,8 @@ QUERIES = {
     "repetition_filter": (q_repetition_filter, SQL_REPETITION),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "asof_last_error": (q_asof_last_error, SQL_ASOF_LAST_ERROR),
+    "session_stats_6h": (q_session_stats_6h, SQL_SESSION_STATS),
     # Spark-only (rows-only checks)
     "kmeans_daily": (q_kmeans_daily, None),
     "anomaly_iforest": (q_anomaly_iforest, None),

@@ -1,0 +1,139 @@
+"""Temporal join/window operators the reference lacks but a telemetry /
+training-data pipeline needs: as-of joins (attach the most recent
+dimension snapshot / sensor reading to each event) and sessionization
+(gap-based event grouping, the unit of user-activity training examples).
+
+Both are compositions of built-in DataFrame operators — no UDFs:
+
+* ``asof_join`` — Spark has no ASOF JOIN; a naive implementation joins
+  on key with ``r.ts <= l.ts`` and ranks (an O(|L|·|R|) explosion per
+  key before the filter).  The scale-safe shape is union + sorted
+  carry-forward: tag both sides, union, one window per key ordered by
+  (ts, side) carrying the last right-side payload forward, keep left
+  rows.  ONE shuffle on the key, rows never multiply, and Catalyst
+  pipelines the window with the downstream projection.  DuckDB's native
+  ASOF JOIN is the oracle.
+* ``sessionize`` — ``F.session_window`` (the engine-native session
+  operator, identical semantics in batch and Structured Streaming);
+  the oracle replicates it as SQL gaps-and-islands (boundary where
+  ``ts - lag(ts) > gap``, session end = last event + gap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance_s: float | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts`` <= ``left_ts`` on the same key(s) (``backward``; ties at
+    equal timestamps match), or the least ``right_ts`` >= ``left_ts``
+    (``forward``).  ``tolerance_s`` voids matches farther than that many
+    seconds away (the matched columns become NULL, like pandas
+    ``merge_asof``).
+
+    Output: all left columns, plus ``<right_ts><suffix>`` (the matched
+    timestamp) and each value column as ``<name><suffix>``.
+
+    Rows with duplicate (key, right_ts) pairs on the RIGHT side make the
+    match ambiguous — the carried payload is whichever sorts last within
+    the equal-timestamp run, which Spark does not define; deduplicate the
+    right side first (e.g. ``max_by`` per (key, ts)) if that can occur.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    value_cols = value_cols or [
+        c for c in right.columns if c not in keys and c != right_ts
+    ]
+    overlap = [c for c in value_cols if c + suffix in left.columns]
+    if overlap:
+        raise ValueError(f"suffixed column(s) {overlap} already exist in left")
+
+    # payload struct: carried as ONE last() over the window (ignorenulls
+    # skips left rows), so every matched column stays from the SAME
+    # right row — per-column last() could mix rows if nulls appeared in
+    # right values
+    payload = F.struct(
+        F.col(right_ts).alias("_mts"), *[F.col(c) for c in value_cols]
+    )
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        payload.alias("_pl"),
+    )
+    l = left.select(
+        "*", F.col(left_ts).alias("_ts"), F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_pl"].dataType).alias("_pl"),
+    )
+    # forward = backward on negated time: sort descending and carry the
+    # NEXT right row; _side still orders right rows before left at ties
+    order = [F.col("_ts").desc() if direction == "forward" else F.col("_ts").asc(),
+             F.col("_side").asc()]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = (
+        l.unionByName(r.select(*keys, "_ts", "_side", "_pl"), allowMissingColumns=True)
+        .withColumn("_m", F.last("_pl", ignorenulls=True).over(w))
+        .where(F.col("_side") == 1)
+    )
+    if tolerance_s is not None:
+        dist = F.abs(
+            F.col("_m._mts").cast("double") - F.col("_ts").cast("double")
+        )
+        carried = carried.withColumn(
+            "_m", F.when(dist <= tolerance_s, F.col("_m"))
+        )
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols.append(F.col("_m._mts").alias(right_ts + suffix))
+    out_cols.extend(F.col(f"_m.{c}").alias(c + suffix) for c in value_cols)
+    return carried.select(*out_cols)
+
+
+def sessionize(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    key_cols: list[str] | tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Gap-based sessions per key via ``F.session_window`` — the
+    engine-native operator (hash-aggregate with session merge; the SAME
+    call sessionizes a watermarked stream).  A session extends while
+    consecutive events arrive within ``gap``; its end is the last event
+    + gap.
+
+    Output: key cols, session_start, session_end, n_events, plus any
+    extra aggregate columns supplied in ``aggs``.
+    """
+    aggs = aggs or []
+    grouped = df.groupBy(
+        *key_cols, F.session_window(F.col(ts_col), gap).alias("_w")
+    ).agg(F.count("*").alias("n_events"), *aggs)
+    extra = [
+        c for c in grouped.columns
+        if c not in set(key_cols) | {"_w", "n_events"}
+    ]
+    return grouped.select(
+        *key_cols,
+        F.col("_w.start").alias("session_start"),
+        F.col("_w.end").alias("session_end"),
+        "n_events",
+        *extra,
+    )

@@ -1,0 +1,100 @@
+"""Unit tests for the temporal operators (operators/temporal.py):
+as-of join directions/tolerance and session_window sessionization.
+DuckDB oracle parity (native ASOF JOIN / gaps-and-islands) runs in
+test_entry.py."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from logdag_spark.operators.temporal import asof_join, sessionize
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 00:00:00"), 1.0),
+            ("a", _ts("2024-01-01 00:10:00"), 2.0),
+            ("b", _ts("2024-01-01 00:05:00"), 9.0),
+        ],
+        "key string, ts timestamp, px double",
+    )
+
+
+@pytest.fixture()
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", _ts("2024-01-01 00:04:00")),
+            (2, "a", _ts("2024-01-01 00:10:00")),  # tie -> matches
+            (3, "a", _ts("2024-01-01 00:30:00")),
+            (4, "b", _ts("2024-01-01 00:01:00")),  # before any quote
+            (5, "c", _ts("2024-01-01 00:01:00")),  # key with no quotes
+        ],
+        "tid long, key string, ts timestamp",
+    )
+
+
+def test_asof_backward(spark, trades, quotes):
+    out = {
+        r["tid"]: (r["ts_r"], r["px_r"])
+        for r in asof_join(trades, quotes, on="key").collect()
+    }
+    assert out[1] == (_ts("2024-01-01 00:00:00"), 1.0)
+    assert out[2] == (_ts("2024-01-01 00:10:00"), 2.0)  # <= includes ties
+    assert out[3] == (_ts("2024-01-01 00:10:00"), 2.0)
+    assert out[4] == (None, None)
+    assert out[5] == (None, None)
+
+
+def test_asof_forward_and_tolerance(spark, trades, quotes):
+    fwd = {
+        r["tid"]: r["px_r"]
+        for r in asof_join(trades, quotes, on="key", direction="forward").collect()
+    }
+    assert fwd == {1: 2.0, 2: 2.0, 3: None, 4: 9.0, 5: None}
+    tol = {
+        r["tid"]: r["px_r"]
+        for r in asof_join(trades, quotes, on="key", tolerance_s=300).collect()
+    }
+    # trade 3 is 20 min after the last quote -> voided by the 5-min tolerance
+    assert tol == {1: 1.0, 2: 2.0, 3: None, 4: None, 5: None}
+
+
+def test_asof_join_no_row_multiplication(spark, trades, quotes):
+    assert asof_join(trades, quotes, on="key").count() == trades.count()
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        ("u1", _ts("2024-01-01 00:00:00"), 1.0),
+        ("u1", _ts("2024-01-01 00:20:00"), 2.0),   # same session (<30m)
+        ("u1", _ts("2024-01-01 01:10:00"), 4.0),   # 50m gap -> new session
+        ("u2", _ts("2024-01-01 00:00:00"), 8.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+    out = sessionize(
+        df, gap="30 minutes",
+        aggs=[F.sum("value").alias("total_val")],
+    )
+    got = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"], r["total_val"])
+        for r in out.collect()
+    }
+    assert got[("u1", _ts("2024-01-01 00:00:00"))] == (
+        _ts("2024-01-01 00:50:00"), 2, 3.0
+    )
+    assert got[("u1", _ts("2024-01-01 01:10:00"))] == (
+        _ts("2024-01-01 01:40:00"), 1, 4.0
+    )
+    assert got[("u2", _ts("2024-01-01 00:00:00"))] == (
+        _ts("2024-01-01 00:30:00"), 1, 8.0
+    )
