@@ -2960,6 +2960,62 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_interval_join_clicks(spark, sf_dir):
+    """Binned range join (operators/temporal.py interval_join): each
+    click event matched to every error window [err_ts, err_ts + 2h]
+    containing it for the same user — equi-join on (user, time bin) +
+    exact BETWEEN filter, never the O(|P|·|I|) nested-loop a raw
+    theta-join plans."""
+    from logdag_spark.operators.temporal import interval_join
+
+    ev = _load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    intervals = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    out = interval_join(clicks, intervals, on="user_id", bin_width_s=7200)
+    return out.select("event_id", "user_id", "err_id")
+
+
+SQL_INTERVAL_JOIN = """
+SELECT c.event_id, c.user_id, e.event_id AS err_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+  ON c.user_id = e.user_id
+ AND c.ts BETWEEN e.ts AND e.ts + INTERVAL 2 HOUR
+"""
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking (operators/text.py chunk_documents):
+    40-token chunks with 8-token overlap (stride 32), shuffle-free
+    sequence→slice→posexplode column expressions."""
+    from logdag_spark.operators.text import chunk_documents
+
+    d = _load(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=40, overlap=8)
+
+
+SQL_CHUNK_DOCUMENTS = _SQL_DOC_TOKS + """, c AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) > 0
+              THEN greatest(ceil((len(toks) - 8) / 32.0), 1)::bigint
+              ELSE 0 END AS n_chunks
+  FROM t
+)
+SELECT doc_id, u.ch.i::int AS chunk_id,
+       array_to_string(u.ch.sl, ' ') AS chunk_text,
+       len(u.ch.sl)::int AS chunk_n_tok
+FROM c, unnest(list_transform(range(0, n_chunks),
+       i -> struct_pack(i := i, sl := toks[(i*32+1):(i*32+40)]))) AS u(ch)
+"""
+
+
 QUERIES = {
     # §2.4 aggregations / discretize
     "tumbling_count_1m": (q_tumbling_count_1m, SQL_TUMBLING),
@@ -3040,6 +3096,8 @@ QUERIES = {
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "asof_last_error": (q_asof_last_error, SQL_ASOF_LAST_ERROR),
     "session_stats_6h": (q_session_stats_6h, SQL_SESSION_STATS),
+    "interval_join_clicks": (q_interval_join_clicks, SQL_INTERVAL_JOIN),
+    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     # Spark-only (rows-only checks)
     "kmeans_daily": (q_kmeans_daily, None),
     "anomaly_iforest": (q_anomaly_iforest, None),

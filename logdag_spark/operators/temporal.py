@@ -106,6 +106,60 @@ def asof_join(
     return carried.select(*out_cols)
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str | list[str] | None = None,
+    point_ts: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bin_width_s: int = 3600,
+) -> DataFrame:
+    """Range (interval-containment) join: every (point, interval) pair
+    on the same key(s) with ``start <= point <= end`` — inclusive both
+    ends.  Output: all point columns + all interval columns (names must
+    not collide apart from the keys).
+
+    Spark plans a raw BETWEEN theta-join as a nested-loop / cartesian
+    per key group — O(|P|·|I|) compares even when almost nothing
+    overlaps.  The scale shape is binning: each interval is exploded to
+    the time bins it covers (``length/bin_width + 1`` rows), each point
+    belongs to exactly ONE bin, and the join becomes an equi-join on
+    (keys, bin) followed by the exact BETWEEN filter.  No dedup is
+    needed — a pair can only meet in the point's unique bin.  Pick
+    ``bin_width_s`` near the median interval length: wider bins raise
+    per-bin fan-in (more false candidates filtered after the join),
+    narrower bins replicate each interval into more rows.
+    """
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    overlap_cols = (set(points.columns) & set(intervals.columns)) - set(keys)
+    if overlap_cols:
+        raise ValueError(
+            f"point/interval column collision {sorted(overlap_cols)}: "
+            "rename or drop before joining"
+        )
+    w = F.lit(int(bin_width_s))
+    # end < start can't match anything, but sequence() would step
+    # DOWNWARD through bins and replicate the row anyway — drop first
+    intervals = intervals.where(F.col(end_col) >= F.col(start_col))
+    ibin = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col).cast("double") / w).cast("long"),
+                F.floor(F.col(end_col).cast("double") / w).cast("long"),
+            )
+        ),
+    )
+    p = points.withColumn(
+        "_bin", F.floor(F.col(point_ts).cast("double") / w).cast("long")
+    )
+    out = p.join(ibin, [*keys, "_bin"]).where(
+        F.col(point_ts).between(F.col(start_col), F.col(end_col))
+    )
+    return out.drop("_bin")
+
+
 def sessionize(
     df: DataFrame,
     gap: str = "30 minutes",

@@ -182,6 +182,64 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token chunks with ``overlap``
+    shared tokens between consecutive chunks — the context-window
+    preparation step before packing/training.
+
+    Chunk ``i`` covers token positions ``[i*stride, i*stride +
+    chunk_tokens)`` with ``stride = chunk_tokens - overlap``; the last
+    chunk may be short; empty documents produce no chunks.  Pure column
+    expressions (sequence → transform → posexplode) — the token array is
+    let-bound so the regex split runs once per row, and chunking adds no
+    shuffle: each input row explodes into its own chunks in place.
+
+    Output: (id_col, chunk_id, chunk_text, chunk_n_tok).
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be > 0, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}"
+        )
+    stride = chunk_tokens - overlap
+    size = F.lit(int(chunk_tokens))
+
+    def per_doc(toks: Column) -> Column:
+        # number of chunks: ceil((n - overlap) / stride), at least one
+        # for any non-empty doc; empty docs -> empty chunk list (guarded
+        # BEFORE sequence(), which would otherwise step downward)
+        n = F.size(toks)
+        n_chunks = F.greatest(
+            F.ceil((n - F.lit(int(overlap))) / F.lit(int(stride))),
+            F.lit(1),
+        )
+        return F.when(
+            n > 0,
+            F.transform(
+                F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+                lambda i: F.slice(toks, i * stride + 1, size),
+            ),
+        ).otherwise(F.array().cast("array<array<string>>"))
+
+    chunks = F.flatten(F.transform(F.array(tokenize(col)), per_doc))
+    return (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_c"))
+        .select(
+            id_col,
+            "chunk_id",
+            F.array_join("_c", " ").alias("chunk_text"),
+            F.size("_c").alias("chunk_n_tok"),
+        )
+    )
+
+
 def vocab_topk(df: DataFrame, k: int = 100, col: str = "text") -> DataFrame:
     """Corpus vocabulary: top-``k`` tokens by document-independent
     frequency (ties broken by token text for determinism).  One explode +

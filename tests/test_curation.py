@@ -115,3 +115,34 @@ def test_semantic_dedup_within_cluster_min_id(spark):
     assert out[3] == (1, False)
     assert out[4] == (None, True)
     assert out[5] == (None, True)
+
+
+def test_chunk_documents_stride_and_tail(spark):
+    from logdag_spark.operators.text import chunk_documents
+
+    docs = _docs(
+        spark,
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 toks
+            (2, "a b c"),
+            (3, ""),
+        ],
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=1)  # stride 3
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"], r["chunk_n_tok"])
+        for r in out.collect()
+    )
+    # doc 1: ceil((10-1)/3) = 3 chunks at offsets 0,3,6
+    assert [r for r in rows if r[0] == 1] == [
+        (1, 0, "t0 t1 t2 t3", 4),
+        (1, 1, "t3 t4 t5 t6", 4),
+        (1, 2, "t6 t7 t8 t9", 4),
+    ]
+    assert [r for r in rows if r[0] == 2] == [(2, 0, "a b c", 3)]
+    assert not [r for r in rows if r[0] == 3]  # empty doc -> no chunks
+    # consecutive chunks share exactly `overlap` tokens
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=0)

@@ -98,3 +98,48 @@ def test_sessionize_gap_semantics(spark):
     assert got[("u2", _ts("2024-01-01 00:00:00"))] == (
         _ts("2024-01-01 00:30:00"), 1, 8.0
     )
+
+
+def test_interval_join_binned_equals_theta(spark):
+    from logdag_spark.operators.temporal import interval_join
+
+    pts = spark.createDataFrame(
+        [(i, "k", float(i)) for i in range(50)],
+        "pid long, key string, ts double",
+    )
+    iv = spark.createDataFrame(
+        [
+            (100, "k", 3.0, 7.0),
+            (101, "k", 6.5, 6.6),     # sub-bin interval
+            (102, "k", 40.0, 49.0),
+            (103, "k", 10.0, 9.0),    # end < start -> matches nothing
+            (104, "z", 0.0, 100.0),   # other key
+        ],
+        "iid long, key string, start_ts double, end_ts double",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(pts, iv, on="key", point_ts="ts",
+                               bin_width_s=5).collect()
+    }
+    want = {
+        (p, i)
+        for p in range(50)
+        for (i, k, s, e) in [(100, "k", 3.0, 7.0), (101, "k", 6.5, 6.6),
+                             (102, "k", 40.0, 49.0), (103, "k", 10.0, 9.0)]
+        if s <= p <= e
+    }
+    assert got == want
+    # inclusive bounds
+    assert (3, 100) in got and (7, 100) in got
+
+
+def test_interval_join_rejects_column_collision(spark):
+    from logdag_spark.operators.temporal import interval_join
+
+    pts = spark.createDataFrame([(1, "k", 1.0)], "x long, key string, ts double")
+    iv = spark.createDataFrame(
+        [(2, "k", 0.0, 2.0)], "x long, key string, start_ts double, end_ts double"
+    )
+    with pytest.raises(ValueError, match="collision"):
+        interval_join(pts, iv, on="key")
