@@ -3016,6 +3016,74 @@ FROM c, unnest(list_transform(range(0, n_chunks),
 """
 
 
+def q_pack_sequences_exact(spark, sf_dir):
+    """Strict-order sequence packing: the same bin math as
+    ``pack_sequences`` but over the GLOBAL per-source doc_id order,
+    computed by the two-pass distributed scan
+    (operators/scan.partitioned_prefix_sum) — shard_width forces ~10
+    order-aligned slices at this sf so the broadcast offset join is
+    actually exercised."""
+    from logdag_spark.operators.text import pack_sequences
+
+    d = _load(spark, sf_dir, "documents")
+    return pack_sequences(
+        d, capacity=512, order_exact=True, shard_width=50
+    ).select(
+        "doc_id", "source", "n_tok", "pack_bin", "bin_offset"
+    ).orderBy("doc_id")
+
+
+SQL_PACK_SEQUENCES_EXACT = """
+WITH t AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9_'']+'),
+                         x -> x <> '')) AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tok,
+         coalesce(sum(n_tok) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+  FROM t
+)
+SELECT doc_id, source, n_tok::int AS n_tok,
+       (excl // 512)::bigint AS pack_bin,
+       (excl % 512)::bigint AS bin_offset
+FROM c ORDER BY doc_id
+"""
+
+
+def q_token_budget_docs(spark, sf_dir):
+    """Per-source token budgeting (operators/scan.token_budget_filter):
+    walking doc_id order, a doc is kept only if it fits entirely within
+    the source's remaining 2000-token budget; the exclusive running
+    total comes from the distributed two-pass scan, never a single-task
+    per-source window."""
+    from logdag_spark.operators.scan import token_budget_filter
+
+    d = _load(spark, sf_dir, "documents")
+    return token_budget_filter(d, budget=2000, shard_width=50)
+
+
+SQL_TOKEN_BUDGET = """
+WITH t AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9_'']+'),
+                         x -> x <> '')) AS n_tok
+  FROM documents
+), c AS (
+  SELECT *, coalesce(sum(n_tok) OVER (
+        PARTITION BY source ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint
+        AS tokens_before
+  FROM t
+)
+SELECT doc_id, source, n_tok::int AS n_tok, tokens_before,
+       (tokens_before + n_tok <= 2000) AS keep
+FROM c
+"""
+
+
 QUERIES = {
     # §2.4 aggregations / discretize
     "tumbling_count_1m": (q_tumbling_count_1m, SQL_TUMBLING),
@@ -3098,6 +3166,8 @@ QUERIES = {
     "session_stats_6h": (q_session_stats_6h, SQL_SESSION_STATS),
     "interval_join_clicks": (q_interval_join_clicks, SQL_INTERVAL_JOIN),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+    "pack_sequences_exact": (q_pack_sequences_exact, SQL_PACK_SEQUENCES_EXACT),
+    "token_budget_docs": (q_token_budget_docs, SQL_TOKEN_BUDGET),
     # Spark-only (rows-only checks)
     "kmeans_daily": (q_kmeans_daily, None),
     "anomaly_iforest": (q_anomaly_iforest, None),

@@ -1,0 +1,110 @@
+"""Distributed scan (prefix-sum) primitives.
+
+A global running total by some order is the classic single-task trap: a
+window partitioned by nothing (or by a low-cardinality column like
+``source``) funnels every row through one task regardless of cluster
+size.  The scale-safe shape is the textbook two-pass scan:
+
+1. rows are sliced into ORDER-ALIGNED shards (``floor(order / width)``
+   — deterministic, data-independent, unlike ``spark_partition_id()``
+   which changes with the physical plan);
+2. each shard computes its local prefix sums in parallel (window
+   partitioned by shard);
+3. shard TOTALS — one row per shard — get their own tiny cumulative
+   window and are broadcast-joined back as offsets.
+
+Pass 3's window is still one task per ``part_cols`` group, but over
+|shards| rows, not |rows| — the caller sizes ``shard_width`` so shards
+number in the thousands.  Results are exact and identical at any
+parallelism.  Consumers here: ``token_budget_filter`` (stop ingesting a
+source once its token budget is spent) and the strict-order mode of
+``text.pack_sequences``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def partitioned_prefix_sum(
+    df: DataFrame,
+    val_col: str,
+    order_col: str,
+    part_cols: tuple[str, ...] = (),
+    shard_width: int = 1_000_000,
+    out_col: str = "prefix_sum",
+    inclusive: bool = False,
+) -> DataFrame:
+    """Exact prefix sum of ``val_col`` by ``order_col`` order within each
+    ``part_cols`` group (exclusive by default), without a global window.
+
+    ``order_col`` must be numeric/integral (shards are
+    ``floor(order / shard_width)``); ``order_col`` values must be unique
+    per group for the sum to be well-defined.  Adds ``out_col`` (long).
+    """
+    bucket = F.floor(F.col(order_col) / F.lit(int(shard_width))).cast("long")
+    sharded = df.withColumn("_shard", bucket)
+    bound = 0 if inclusive else -1
+    w_in = (
+        Window.partitionBy(*part_cols, "_shard")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, bound)
+    )
+    within = F.coalesce(F.sum(F.col(val_col).cast("long")).over(w_in), F.lit(0))
+    totals = sharded.groupBy(*part_cols, "_shard").agg(
+        F.sum(F.col(val_col).cast("long")).alias("_shard_total")
+    )
+    w_sh = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *part_cols,
+        "_shard",
+        F.coalesce(F.sum("_shard_total").over(w_sh), F.lit(0)).alias("_offset"),
+    )
+    return (
+        sharded.join(F.broadcast(offsets), [*part_cols, "_shard"])
+        .withColumn(out_col, (F.col("_offset") + within).cast("long"))
+        .drop("_shard", "_offset")
+    )
+
+
+def token_budget_filter(
+    df: DataFrame,
+    budget: int,
+    part_col: str = "source",
+    order_col: str = "doc_id",
+    n_tok_col: str | None = None,
+    col: str = "text",
+    shard_width: int = 1_000_000,
+) -> DataFrame:
+    """Per-source token budgeting: walking each source in ``order_col``
+    order, a document is kept only if it fits ENTIRELY within the
+    remaining budget (documents after the boundary are marked, not
+    silently dropped — the caller filters on ``keep``).
+
+    Output: (order_col, part_col, n_tok, tokens_before, keep), where
+    ``tokens_before`` is the exclusive running token total.  Built on
+    :func:`partitioned_prefix_sum` — exact at any parallelism, no
+    single-task window.
+    """
+    from logdag_spark.operators.text import token_count
+
+    if n_tok_col is None:
+        df = df.withColumn("n_tok", token_count(col))
+        n_tok_col = "n_tok"
+    pref = partitioned_prefix_sum(
+        df, n_tok_col, order_col, part_cols=(part_col,),
+        shard_width=shard_width, out_col="tokens_before",
+    )
+    return pref.select(
+        order_col,
+        part_col,
+        F.col(n_tok_col).cast("int").alias("n_tok"),
+        "tokens_before",
+        ((F.col("tokens_before") + F.col(n_tok_col)) <= budget).alias("keep"),
+    )

@@ -131,6 +131,8 @@ def pack_sequences(
     order_col: str = "doc_id",
     col: str = "text",
     num_shards: int = 64,
+    order_exact: bool = False,
+    shard_width: int = 1_000_000,
 ) -> DataFrame:
     """Sequence-packing assignment: greedy packing of documents into
     fixed-capacity token bins, the layout step before writing packed
@@ -154,11 +156,45 @@ def pack_sequences(
     |sources|.  ``num_shards=1`` recovers the strict per-source
     contiguous order.  Output adds (n_tok, pack_shard, pack_bin,
     bin_offset); results are identical at any cluster parallelism.
+
+    ``order_exact=True`` keeps the strict GLOBAL per-source ``order_col``
+    order (the reference-writer semantics ``num_shards=1`` gives) but
+    stays parallel: the running total comes from the two-pass
+    distributed scan (``operators.scan.partitioned_prefix_sum`` —
+    order-aligned ``shard_width`` slices, per-slice windows, broadcast
+    slice offsets).  Requires a numeric ``order_col``; ``pack_shard`` is
+    0 for every row and the output equals ``num_shards=1`` exactly
+    (parity-tested) at any parallelism.
     """
     from logdag_spark.operators.sampling import SALT_PACK, bucket_for
 
     if num_shards < 1:
         raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    # integer `div`, not float division: a double quotient loses exactness
+    # past 2^53, and per-partition running totals at 10^12-row corpora can
+    # get there — the SQL oracle's `//` is exact, so this must be too
+    def bins(with_excl: DataFrame) -> DataFrame:
+        return (
+            with_excl.withColumn("pack_bin", F.expr(f"_excl div {int(capacity)}"))
+            .withColumn(
+                "bin_offset",
+                F.pmod(F.col("_excl"), F.lit(int(capacity))).cast("long"),
+            )
+            .drop("_excl")
+        )
+
+    if order_exact:
+        from logdag_spark.operators.scan import partitioned_prefix_sum
+
+        base = df.withColumn("n_tok", token_count(col)).withColumn(
+            "pack_shard", F.lit(0)
+        )
+        return bins(
+            partitioned_prefix_sum(
+                base, "n_tok", order_col, part_cols=(part_col,),
+                shard_width=shard_width, out_col="_excl",
+            )
+        )
     shard = (
         F.pmod(bucket_for(df, order_col, SALT_PACK), F.lit(num_shards))
         if num_shards > 1
@@ -169,16 +205,10 @@ def pack_sequences(
         F.sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0),
     ).cast("long")
-    # integer `div`, not float division: a double quotient loses exactness
-    # past 2^53, and per-partition running totals at 10^12-row corpora can
-    # get there — the SQL oracle's `//` is exact, so this must be too
-    return (
+    return bins(
         df.withColumn("n_tok", token_count(col))
         .withColumn("pack_shard", shard)
         .withColumn("_excl", excl)
-        .withColumn("pack_bin", F.expr(f"_excl div {int(capacity)}"))
-        .withColumn("bin_offset", F.pmod(F.col("_excl"), F.lit(int(capacity))).cast("long"))
-        .drop("_excl")
     )
 
 

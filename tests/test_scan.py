@@ -1,0 +1,85 @@
+"""Unit tests for the distributed scan primitives (operators/scan.py):
+two-pass prefix-sum parity against a single global window, budget
+filtering semantics, and pack_sequences' strict-order mode."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from logdag_spark.operators.scan import partitioned_prefix_sum, token_budget_filter
+
+
+@pytest.fixture()
+def vals(spark):
+    rows = [
+        (i, "s%d" % (i % 3), (i * 7919) % 13 + 1)  # deterministic pseudo-random
+        for i in range(200)
+    ]
+    return spark.createDataFrame(rows, "id long, src string, v long")
+
+
+def _reference_prefix(df, inclusive):
+    bound = 0 if inclusive else -1
+    w = (
+        Window.partitionBy("src").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, bound)
+    )
+    return df.withColumn("want", F.coalesce(F.sum("v").over(w), F.lit(0)))
+
+
+@pytest.mark.parametrize("inclusive", [False, True])
+@pytest.mark.parametrize("shard_width", [1, 7, 50, 10_000])
+def test_prefix_sum_matches_global_window(spark, vals, shard_width, inclusive):
+    got = partitioned_prefix_sum(
+        vals, "v", "id", part_cols=("src",),
+        shard_width=shard_width, inclusive=inclusive,
+    )
+    joined = _reference_prefix(vals, inclusive).join(got, ["id", "src", "v"])
+    assert joined.count() == 200
+    assert joined.where(F.col("want") != F.col("prefix_sum")).count() == 0
+
+
+def test_prefix_sum_no_part_cols(spark, vals):
+    got = partitioned_prefix_sum(vals, "v", "id", shard_width=16)
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    want = vals.withColumn("want", F.coalesce(F.sum("v").over(w), F.lit(0)))
+    bad = want.join(got, ["id", "src", "v"]).where(
+        F.col("want") != F.col("prefix_sum")
+    )
+    assert bad.count() == 0
+
+
+def test_token_budget_filter_boundary(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "x " * 10),   # 10 toks, before=0  -> keep
+            (2, "a", "x " * 10),   # before=10 -> 20 <= 25 keep
+            (3, "a", "x " * 10),   # before=20 -> 30 > 25 drop (straddles)
+            (4, "a", "x " * 2),    # before=30 -> over, drop
+            (5, "b", "x " * 30),   # other source, over alone
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r["doc_id"]: (r["tokens_before"], r["keep"])
+        for r in token_budget_filter(docs, budget=25, shard_width=2).collect()
+    }
+    assert out == {
+        1: (0, True), 2: (10, True), 3: (20, False), 4: (30, False),
+        5: (0, False),
+    }
+
+
+def test_pack_sequences_exact_equals_single_shard(spark, sf001_dir):
+    from logdag_spark.operators.text import pack_sequences
+
+    d = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    cols = ["doc_id", "source", "n_tok", "pack_bin", "bin_offset"]
+    exact = pack_sequences(
+        d, capacity=128, order_exact=True, shard_width=7
+    ).select(cols)
+    single = pack_sequences(d, capacity=128, num_shards=1).select(cols)
+    assert exact.exceptAll(single).count() == 0
+    assert single.exceptAll(exact).count() == 0
