@@ -44,6 +44,8 @@
     python -m logdag_spark curate-docs  --input PARQUET
         [--method decontaminate|repetition|redact|semantic]
         [--benchmark EVAL_PARQUET] [--threshold 0.9] [--cluster-col label]
+    python -m logdag_spark chunk-docs   --input DOCS_PARQUET [--capacity 512] [--overlap 0]
+    python -m logdag_spark budget-docs  --input DOCS_PARQUET --budget N
 
 Designed for ``spark-submit --py-files logdag_spark.zip`` on a cluster;
 locally it builds its own session.
@@ -117,6 +119,10 @@ def _common(p: argparse.ArgumentParser) -> None:
                    help="curate-docs semantic: cluster column bounding the pair join")
     p.add_argument("--ngram", type=int, default=4,
                    help="curate-docs decontaminate: token n-gram size")
+    p.add_argument("--overlap", type=int, default=0,
+                   help="chunk-docs tokens shared between consecutive chunks")
+    p.add_argument("--budget", type=int, default=None,
+                   help="budget-docs per-source token budget")
     p.add_argument(
         "--conditions", nargs="*", default=[],
         help="show-edge search conditions: node=EID gid=KEY host=SUBSTR "
@@ -146,6 +152,7 @@ def main(argv: list[str] | None = None) -> int:
         "show-match-info", "show-snmp-stats", "drop-features",
         "dump-input", "lineage", "dedup-docs", "ann-topk",
         "sample-docs", "pack-docs", "vocab", "curate-docs",
+        "chunk-docs", "budget-docs",
     ):
         _common(sub.add_parser(cmd))
     args = ap.parse_args(argv)
@@ -691,6 +698,26 @@ def main(argv: list[str] | None = None) -> int:
                 data, threshold=args.threshold, cluster_col=args.cluster_col
             )
         out.show(100, truncate=False)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+    elif args.cmd == "chunk-docs":
+        from logdag_spark.operators.text import chunk_documents
+
+        docs = spark.read.parquet(args.input)
+        out = chunk_documents(docs, chunk_tokens=args.capacity, overlap=args.overlap)
+        out.show(20, truncate=False)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+    elif args.cmd == "budget-docs":
+        from logdag_spark.operators.scan import token_budget_filter
+
+        if args.budget is None:
+            ap.error("budget-docs requires --budget")
+        docs = spark.read.parquet(args.input)
+        out = token_budget_filter(docs, budget=args.budget)
+        out.show(20, truncate=False)
         if args.out:
             out.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")

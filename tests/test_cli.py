@@ -339,3 +339,17 @@ def test_curate_docs_commands(cli_run, spark, sf001_dir, tmp_path):
         cli_run("curate-docs", "--input", docs, "--method", "nope")
     with pytest.raises(SystemExit):
         cli_run("curate-docs", "--input", docs, "--method", "decontaminate")
+
+
+def test_chunk_and_budget_docs_commands(cli_run, spark, sf001_dir, tmp_path):
+    docs = f"{sf001_dir}/documents.parquet"
+    out = str(tmp_path / "chunks.parquet")
+    assert cli_run("chunk-docs", "--input", docs, "--capacity", "40",
+                   "--overlap", "8", "--out", out) == 0
+    got = spark.read.parquet(out)
+    assert {"chunk_id", "chunk_text", "chunk_n_tok"} <= set(got.columns)
+    assert got.count() >= spark.read.parquet(docs).where("n_chars > 0").count()
+
+    assert cli_run("budget-docs", "--input", docs, "--budget", "500") == 0
+    with pytest.raises(SystemExit):
+        cli_run("budget-docs", "--input", docs)
