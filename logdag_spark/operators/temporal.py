@@ -26,6 +26,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _epoch_seconds(df: DataFrame, colname: str) -> Column:
+    """Numeric seconds from a numeric or timestamp column.  TIMESTAMP_NTZ
+    (what DuckDB-written parquet surfaces) cannot cast to double
+    directly — route it through TIMESTAMP first (session TZ applies
+    uniformly to every column involved, so relative arithmetic is
+    unaffected)."""
+    t = dict(df.dtypes)[colname]
+    c = F.col(colname)
+    if t.startswith("timestamp"):
+        c = c.cast("timestamp")
+    return c.cast("double")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -94,8 +107,15 @@ def asof_join(
         .where(F.col("_side") == 1)
     )
     if tolerance_s is not None:
+        # TIMESTAMP_NTZ needs the TIMESTAMP hop before a numeric cast
+        def num(c: Column, dtype: str) -> Column:
+            return (c.cast("timestamp") if dtype.startswith("timestamp") else c).cast(
+                "double"
+            )
+
         dist = F.abs(
-            F.col("_m._mts").cast("double") - F.col("_ts").cast("double")
+            num(F.col("_m._mts"), dict(right.dtypes)[right_ts])
+            - num(F.col("_ts"), dict(left.dtypes)[left_ts])
         )
         carried = carried.withColumn(
             "_m", F.when(dist <= tolerance_s, F.col("_m"))
@@ -146,13 +166,13 @@ def interval_join(
         "_bin",
         F.explode(
             F.sequence(
-                F.floor(F.col(start_col).cast("double") / w).cast("long"),
-                F.floor(F.col(end_col).cast("double") / w).cast("long"),
+                F.floor(_epoch_seconds(intervals, start_col) / w).cast("long"),
+                F.floor(_epoch_seconds(intervals, end_col) / w).cast("long"),
             )
         ),
     )
     p = points.withColumn(
-        "_bin", F.floor(F.col(point_ts).cast("double") / w).cast("long")
+        "_bin", F.floor(_epoch_seconds(points, point_ts) / w).cast("long")
     )
     out = p.join(ibin, [*keys, "_bin"]).where(
         F.col(point_ts).between(F.col(start_col), F.col(end_col))

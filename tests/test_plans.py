@@ -198,3 +198,67 @@ def test_lingam_corr_pair_fanout_is_equi_join(spark):
     )
     plan = _plan(edges)
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf001_dir):
+    """The eval-suite gram dictionary must reach the corpus side as a
+    broadcast — a shuffle keyed by gram would exchange the full corpus
+    at 10^12 rows."""
+    from logdag_spark.operators.curation import decontaminate
+
+    d = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    out = decontaminate(
+        d.where(F.col("doc_id") % 11 != 0), d.where(F.col("doc_id") % 11 == 0), n=4
+    )
+    plan = _plan(out)
+    # the gram-dictionary join must broadcast; the small per-doc count
+    # join back onto corpus ids may legitimately plan as any join type
+    assert "BroadcastHashJoin" in plan
+
+
+def test_interval_join_plans_equi_join_not_nested_loop(spark, sf001_dir):
+    from logdag_spark.operators.temporal import interval_join
+
+    ev = spark.read.parquet(f"{sf001_dir}/events.parquet")
+    pts = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    iv = ev.where(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("err_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    plan = _plan(interval_join(pts, iv, on="user_id"))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert any(j in plan for j in
+               ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_asof_join_single_key_exchange(spark, sf001_dir):
+    """asof_join = union + carry-forward window: exactly ONE exchange
+    (the key repartition for the window), rows never multiply."""
+    from logdag_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf001_dir}/events.parquet").localCheckpoint(
+        eager=True
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(clicks, errors, on="user_id", value_cols=["value"])
+    assert _n_shuffles(_plan(out)) == 1
+
+
+def test_prefix_sum_offsets_join_is_broadcast(spark, sf001_dir):
+    """The shard-offset frame (one row per shard) must broadcast back to
+    the fact side — a shuffle join would re-exchange the corpus."""
+    from logdag_spark.operators.scan import partitioned_prefix_sum
+
+    d = spark.read.parquet(f"{sf001_dir}/documents.parquet").select(
+        "doc_id", "source", F.length("text").alias("v")
+    )
+    out = partitioned_prefix_sum(
+        d, "v", "doc_id", part_cols=("source",), shard_width=50
+    )
+    assert "BroadcastHashJoin" in _plan(out)

@@ -143,3 +143,19 @@ def test_interval_join_rejects_column_collision(spark):
     )
     with pytest.raises(ValueError, match="collision"):
         interval_join(pts, iv, on="key")
+
+
+def test_asof_tolerance_on_timestamp_ntz(spark, trades, quotes):
+    """DuckDB-written parquet surfaces TIMESTAMP_NTZ, which cannot cast
+    to double directly — the tolerance path must hop through TIMESTAMP."""
+    tn = trades.withColumn(
+        "ts", F.to_timestamp(F.col("ts")).cast("timestamp_ntz")
+    )
+    qn = quotes.withColumn(
+        "ts", F.to_timestamp(F.col("ts")).cast("timestamp_ntz")
+    )
+    out = {
+        r["tid"]: r["px_r"]
+        for r in asof_join(tn, qn, on="key", tolerance_s=300).collect()
+    }
+    assert out == {1: 1.0, 2: 2.0, 3: None, 4: None, 5: None}
