@@ -3084,6 +3084,63 @@ FROM c
 """
 
 
+def q_doc_logprob(spark, sf_dir):
+    """Unigram log-probability quality score (operators/text.py
+    unigram_logprob): avg -ln p(token) per doc under the corpus's own
+    unigram model; model total rides a broadcast one-row frame (no
+    driver collect)."""
+    from logdag_spark.operators.text import unigram_logprob
+
+    d = _load(spark, sf_dir, "documents")
+    return unigram_logprob(d)
+
+
+SQL_DOC_LOGPROB = _SQL_DOC_TOKS + """,
+tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+m AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+tot AS (SELECT sum(n)::double AS ntot FROM m),
+sc AS (
+  SELECT doc_id, round(avg(-ln(n / ntot)), 6) AS logprob
+  FROM tok JOIN m USING (token) CROSS JOIN tot GROUP BY doc_id
+)
+SELECT t.doc_id, len(t.toks)::int AS n_tok,
+       coalesce(sc.logprob, 0.0) AS logprob
+FROM t LEFT JOIN sc USING (doc_id)
+"""
+
+
+def q_quantize_embeddings(spark, sf_dir):
+    """Symmetric per-vector int8 quantization (operators/similarity.py
+    quantize_embeddings); the code array rides as a CSV string so both
+    engines hash identical values."""
+    from logdag_spark.operators.similarity import quantize_embeddings
+
+    e = _load(spark, sf_dir, "embeddings")
+    out = quantize_embeddings(e)
+    return out.select(
+        "vec_id", "scale",
+        F.array_join(F.transform("qvec", lambda x: x.cast("string")), ",").alias(
+            "qvec_csv"
+        ),
+    )
+
+
+SQL_QUANTIZE = """
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x::double))) AS ma
+  FROM embeddings
+)
+SELECT vec_id,
+       round(CASE WHEN ma > 0 THEN 127.0 / ma ELSE 0.0 END, 6) AS scale,
+       array_to_string(list_transform(embedding,
+         x -> CASE WHEN ma > 0
+              THEN round(x::double * (127.0 / ma))::int ELSE 0 END), ',')
+         AS qvec_csv
+FROM m
+"""
+
+
 QUERIES = {
     # §2.4 aggregations / discretize
     "tumbling_count_1m": (q_tumbling_count_1m, SQL_TUMBLING),
@@ -3168,6 +3225,8 @@ QUERIES = {
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "pack_sequences_exact": (q_pack_sequences_exact, SQL_PACK_SEQUENCES_EXACT),
     "token_budget_docs": (q_token_budget_docs, SQL_TOKEN_BUDGET),
+    "doc_logprob": (q_doc_logprob, SQL_DOC_LOGPROB),
+    "quantize_embeddings": (q_quantize_embeddings, SQL_QUANTIZE),
     # Spark-only (rows-only checks)
     "kmeans_daily": (q_kmeans_daily, None),
     "anomaly_iforest": (q_anomaly_iforest, None),

@@ -44,6 +44,9 @@ def partitioned_prefix_sum(
     ``floor(order / shard_width)``); ``order_col`` values must be unique
     per group for the sum to be well-defined.  Adds ``out_col`` (long).
     """
+    reserved = {"_shard", "_offset", out_col} & set(df.columns)
+    if reserved:
+        raise ValueError(f"columns {sorted(reserved)} collide with scan internals")
     bucket = F.floor(F.col(order_col) / F.lit(int(shard_width))).cast("long")
     sharded = df.withColumn("_shard", bucket)
     bound = 0 if inclusive else -1

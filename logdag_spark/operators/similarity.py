@@ -482,3 +482,44 @@ def embedding_near_dups(
         .where(F.col("score") >= th)
         .distinct()
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = 127 / max|x|,
+    q_i = round(x_i * scale) in [-127, 127] — the storage/transfer
+    shape ANN serving quantizes to (reconstruction x ~= q / scale).
+
+    Pure column expressions, no shuffle, no UDF: the max-abs is an
+    `aggregate` over the array, let-bound in a struct so it computes
+    once per row, not once per coordinate.  All-zero vectors get
+    scale 0.0 and an all-zero code (the reconstruction is exact).
+
+    Output: (id_col, scale, qvec array<int>).
+    """
+    v = F.col(vec_col)
+    maxabs = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    pair = F.struct(v.alias("v"), maxabs.alias("m"))
+    return df.select(
+        F.col(id_col),
+        F.round(
+            F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0)), 6
+        ).alias("scale"),
+        F.transform(
+            F.array(pair),
+            lambda s: F.transform(
+                s["v"],
+                lambda x: F.when(
+                    s["m"] > 0,
+                    F.round(x.cast("double") * (F.lit(127.0) / s["m"]), 0),
+                )
+                .otherwise(F.lit(0.0))
+                .cast("int"),
+            ),
+        )[0].alias("qvec"),
+    )

@@ -67,6 +67,9 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    reserved = {"_ts", "_side", "_pl", "_m"} & set(left.columns)
+    if reserved:
+        raise ValueError(f"left columns {sorted(reserved)} collide with internals")
     keys = [on] if isinstance(on, str) else list(on)
     value_cols = value_cols or [
         c for c in right.columns if c not in keys and c != right_ts
@@ -152,6 +155,8 @@ def interval_join(
     narrower bins replicate each interval into more rows.
     """
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    if "_bin" in points.columns or "_bin" in intervals.columns:
+        raise ValueError("column '_bin' collides with an internal column")
     overlap_cols = (set(points.columns) & set(intervals.columns)) - set(keys)
     if overlap_cols:
         raise ValueError(

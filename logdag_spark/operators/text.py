@@ -212,6 +212,49 @@ def pack_sequences(
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    model: DataFrame | None = None,
+    col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """CCNet-style unigram quality score: the average negative natural
+    log probability of a document's tokens under a unigram model (lower
+    = more typical of the modeled corpus; high = gibberish / OOV-heavy).
+
+    ``model`` is a (token, n) count table — defaults to the corpus
+    itself (self-scoring, no OOV).  Token probabilities are n/N with the
+    total carried as a broadcast one-row frame (no driver collect, no
+    window); the model join broadcasts when ``broadcast_model`` (right
+    for bounded vocabularies — set False for open web-scale vocabs and
+    let AQE pick a shuffle join).  Tokens absent from a supplied model
+    are scored at 1/N (add-one-style floor) rather than -inf.
+
+    Output: (id_col, n_tok, logprob) with logprob = round(avg(-ln p), 6)
+    and 0.0 for empty documents.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokenize(col)).alias("token"))
+    if model is None:
+        model = toks.groupBy("token").agg(F.count("*").alias("n"))
+    total = model.agg(F.sum("n").alias("_N"))
+    m = F.broadcast(model) if broadcast_model else model
+    scored = (
+        # the total joins the TOKEN side (one broadcast row), not the
+        # model side — an OOV token must still see _N for its 1/N floor
+        toks.join(F.broadcast(total))
+        .join(m, "token", "left")
+        .withColumn("_p", F.coalesce(F.col("n"), F.lit(1)) / F.col("_N"))
+        .groupBy(id_col)
+        .agg(F.round(F.avg(-F.log("_p")), 6).alias("logprob"))
+    )
+    return (
+        df.select(F.col(id_col), F.size(tokenize(col)).alias("n_tok"))
+        .join(scored, id_col, "left")
+        .withColumn("logprob", F.coalesce("logprob", F.lit(0.0)))
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int,

@@ -146,3 +146,44 @@ def test_chunk_documents_stride_and_tail(spark):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=0)
+
+
+def test_unigram_logprob_orders_typicality(spark):
+    from logdag_spark.operators.text import unigram_logprob
+
+    docs = _docs(
+        spark,
+        [
+            (1, "the the the the"),          # most frequent token
+            (2, "the the rare rare"),
+            (3, "singleton"),
+            (4, ""),
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in unigram_logprob(docs).collect()}
+    # doc 1 uses only the most common token -> lowest avg -ln p
+    assert out[1]["logprob"] < out[2]["logprob"] < out[3]["logprob"]
+    assert out[4] == {"doc_id": 4, "n_tok": 0, "logprob": 0.0}
+    # external model: unseen tokens get the 1/N floor, not -inf/NaN
+    model = spark.createDataFrame([("the", 9)], "token string, n long")
+    ext = {r["doc_id"]: r["logprob"] for r in unigram_logprob(docs, model).collect()}
+    import math
+
+    assert all(math.isfinite(v) for v in ext.values())
+    assert ext[3] == round(math.log(9), 6)  # p = 1/9 floor
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    from logdag_spark.operators.similarity import quantize_embeddings
+
+    rows = [
+        (1, [0.5, -1.0, 0.25]),
+        (2, [0.0, 0.0, 0.0]),
+        (3, [2.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r.asDict() for r in quantize_embeddings(df).collect()}
+    assert out[1]["qvec"] == [64, -127, 32]  # round(0.5*127), etc.
+    assert out[1]["scale"] == 127.0
+    assert out[2]["scale"] == 0.0 and out[2]["qvec"] == [0, 0, 0]
+    assert out[3]["qvec"] == [127]
