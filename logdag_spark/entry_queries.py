@@ -982,6 +982,7 @@ def _mult_of(name: str) -> int:
         "split": sampling.SALT_SPLIT,
         "strata": sampling.SALT_STRATA,
         "pack": sampling.SALT_PACK,
+        "mix": sampling.SALT_MIX,
     }[name]
     return sampling.bucket_multiplier(salt)
 
@@ -3141,6 +3142,32 @@ FROM m
 """
 
 
+def q_mix_order_docs(spark, sf_dir):
+    """Deterministic weighted interleave (operators/sampling.mix_order):
+    sources with even index get weight 3, odd get 1; sorting by mix_key
+    yields a ~3:1 training mix.  The weight dim is broadcast; the bucket
+    algebra is the SQL-portable multiplicative hash."""
+    from logdag_spark.operators.sampling import mix_order
+
+    d = _load(spark, sf_dir, "documents")
+    sources = [r["source"] for r in d.select("source").distinct().collect()]
+    w = spark.createDataFrame(
+        [(s, 3.0 if int(s[3:]) % 2 == 0 else 1.0) for s in sources],
+        "key string, weight double",
+    )
+    return mix_order(d, w).select("doc_id", "source", "mix_key")
+
+
+SQL_MIX_ORDER = f"""
+SELECT doc_id, source,
+       round(-ln((((doc_id % 2147483647) * {_mult_of("mix")}) % 2147483647 + 1.0)
+                 / 2147483648.0)
+             / (CASE WHEN substr(source, 4)::int % 2 = 0 THEN 3.0 ELSE 1.0 END),
+             6) AS mix_key
+FROM documents
+"""
+
+
 QUERIES = {
     # §2.4 aggregations / discretize
     "tumbling_count_1m": (q_tumbling_count_1m, SQL_TUMBLING),
@@ -3227,6 +3254,7 @@ QUERIES = {
     "token_budget_docs": (q_token_budget_docs, SQL_TOKEN_BUDGET),
     "doc_logprob": (q_doc_logprob, SQL_DOC_LOGPROB),
     "quantize_embeddings": (q_quantize_embeddings, SQL_QUANTIZE),
+    "mix_order_docs": (q_mix_order_docs, SQL_MIX_ORDER),
     # Spark-only (rows-only checks)
     "kmeans_daily": (q_kmeans_daily, None),
     "anomaly_iforest": (q_anomaly_iforest, None),

@@ -149,3 +149,51 @@ def stratified_sample(
         .where(bucket_for(df, id_col, salt) < F.coalesce("_th", F.lit(0)))
         .drop("_th")
     )
+
+
+SALT_MIX = 0xD1CE5
+
+
+def mix_order(
+    df: DataFrame,
+    weights: DataFrame,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    salt: int = SALT_MIX,
+) -> DataFrame:
+    """Deterministic weighted interleave for training order: sorting the
+    output by ``mix_key`` ascending yields a stream where each source's
+    rows appear at a frequency proportional to its weight — the
+    exponential-race (Gumbel/A-Res) trick: every row draws a
+    deterministic pseudo-uniform u in (0, 1) from its id bucket and gets
+
+        mix_key = -ln(u) / weight
+
+    Exponential spacing means a weight-3 source's keys land ~3x as dense
+    on the key axis as a weight-1 source's, so any prefix of the sorted
+    stream holds the sources in ~weight proportion — weighted sampling
+    without replacement, reproducible at any parallelism, no shuffle
+    here (the SORT is the consumer's — typically the training-shard
+    writer's repartitionByRange).
+
+    ``weights(key, weight)`` is a tiny broadcast dim; rows whose key has
+    no weight (or weight <= 0) get mix_key NULL — filter or default
+    upstream.  Output: input columns + mix_key (rounded to 6 decimals
+    for cross-engine exactness).
+    """
+    w = weights.select(
+        F.col("key").alias(key_col), F.col("weight").cast("double").alias("_w")
+    )
+    # u in (0,1): (bucket + 1) / (P + 1) — never 0 (ln would blow up),
+    # never 1; SQL-portable for integral ids via the same bucket algebra
+    u = (bucket_for(df, id_col, salt) + F.lit(1.0)) / F.lit(float(P + 1))
+    return (
+        df.join(F.broadcast(w), key_col, "left")
+        .withColumn(
+            "mix_key",
+            F.round(
+                F.when(F.col("_w") > 0, -F.log(u) / F.col("_w")), 6
+            ),
+        )
+        .drop("_w")
+    )

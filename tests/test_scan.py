@@ -83,3 +83,27 @@ def test_pack_sequences_exact_equals_single_shard(spark, sf001_dir):
     single = pack_sequences(d, capacity=128, num_shards=1).select(cols)
     assert exact.exceptAll(single).count() == 0
     assert single.exceptAll(exact).count() == 0
+
+
+def test_mix_order_respects_weights(spark):
+    from logdag_spark.operators.sampling import mix_order
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    w = spark.createDataFrame([("a", 3.0), ("b", 1.0)], "key string, weight double")
+    out = mix_order(df, w, key_col="source")
+    head = out.orderBy("mix_key").limit(400).groupBy("source").count().collect()
+    got = {r["source"]: r["count"] for r in head}
+    # 3:1 weights -> ~300/100 in any prefix; allow generous slack
+    assert 250 <= got["a"] <= 350 and 50 <= got["b"] <= 150
+    # deterministic across repartitioning
+    a = sorted((r["doc_id"], r["mix_key"]) for r in out.collect())
+    b = sorted(
+        (r["doc_id"], r["mix_key"])
+        for r in mix_order(df.repartition(7), w, key_col="source").collect()
+    )
+    assert a == b
+    # unweighted source -> NULL key
+    w2 = spark.createDataFrame([("a", 3.0)], "key string, weight double")
+    nulls = mix_order(df, w2, key_col="source").where("mix_key IS NULL").count()
+    assert nulls == 1000
