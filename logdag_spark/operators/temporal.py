@@ -200,6 +200,19 @@ def sessionize(
 
     Output: key cols, session_start, session_end, n_events, plus any
     extra aggregate columns supplied in ``aggs``.
+
+    The session bounds are emitted through a predicate-pushdown FENCE:
+    Catalyst treats ``session_window`` as an ordinary grouping
+    expression and pushes a downstream ``session_end < X`` filter into
+    the INPUT as ``ts + gap < X`` — sound for tumbling windows, UNSOUND
+    for sessions, where it truncates every straddling session into a
+    ghost that never exists in the unfiltered result (observed live: 7
+    fabricated sessions from 7 real ones that all ended past the cut).
+    The emitted bounds are therefore wrapped in an always-true branch on
+    ``n_events`` — an AGGREGATE output, which no predicate can be pushed
+    past — keeping values bit-identical while making them ineligible for
+    pushdown.  (A ``rand()``-based fence does not survive: the optimizer
+    folds always-true rand comparisons away.)
     """
     aggs = aggs or []
     grouped = df.groupBy(
@@ -209,10 +222,14 @@ def sessionize(
         c for c in grouped.columns
         if c not in set(key_cols) | {"_w", "n_events"}
     ]
+
+    def fence(c: Column) -> Column:
+        return F.when(F.col("n_events") >= 0, c)
+
     return grouped.select(
         *key_cols,
-        F.col("_w.start").alias("session_start"),
-        F.col("_w.end").alias("session_end"),
+        fence(F.col("_w.start")).alias("session_start"),
+        fence(F.col("_w.end")).alias("session_end"),
         "n_events",
         *extra,
     )

@@ -129,3 +129,76 @@ def test_streaming_content_dedup(spark, tmp_path):
     got = spark.sql("SELECT * FROM dedup_docs").toPandas()
     assert len(got) == 20
     assert sorted(got["text"].unique()) == sorted({f"text number {i}" for i in range(20)})
+
+
+@pytest.mark.slow
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """The SAME sessionize() call runs as a watermarked streaming
+    aggregation (session_window is engine-native in both modes): every
+    emitted session is a true batch session, and all sessions that
+    closed before the final watermark are emitted."""
+    from logdag_spark.operators.temporal import sessionize
+
+    t0 = fx.generator.DEFAULT_T0
+    rows = [
+        (u * 100 + b * 10 + j, u,
+         t0 + timedelta(hours=2 * b, minutes=5 * j + u))
+        for u in range(5) for b in range(6) for j in range(4)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    src = str(tmp_path / "events")
+    ev.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src).withWatermark(
+        "ts", "10 minutes"
+    )
+    sessions = sessionize(stream, gap="30 minutes", key_cols=("user_id",))
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory").queryName("stream_sessions")
+        .option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    batch = sessionize(
+        spark.read.parquet(src), gap="30 minutes", key_cols=("user_id",)
+    )
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM stream_sessions").collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch.collect()
+    }
+    assert got <= want  # nothing fabricated
+    # settled = closed before the final watermark (filter PYTHON-side:
+    # a session_end predicate over the aggregate would be pushed into
+    # the input and fabricate truncated sessions - see sessionize())
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    watermark = max_ts - timedelta(minutes=10)
+    settled = {w for w in want if w[2] < watermark}
+    assert settled <= got
+    assert len(got) >= len(settled) > 0
+
+
+@pytest.mark.slow
+def test_sessionize_fences_session_end_pushdown(spark):
+    """A session_end filter over the aggregate must NOT be pushed into
+    the input rows: with wrap-around data every user forms ONE long
+    session, so an end-bound cut below the true ends must return zero
+    rows - the unfenced plan fabricated one truncated ghost per user."""
+    from logdag_spark.operators.temporal import sessionize
+
+    t0 = fx.generator.DEFAULT_T0
+    ev = spark.createDataFrame(
+        [(i, i % 7, t0 + timedelta(minutes=(i * 13) % 480)) for i in range(400)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    batch = sessionize(ev, gap="30 minutes", key_cols=("user_id",))
+    ends = [r["session_end"] for r in batch.collect()]
+    cutoff = min(ends) - timedelta(minutes=30)
+    assert batch.where(F.col("session_end") < F.lit(cutoff)).count() == 0
