@@ -74,7 +74,7 @@ def asof_join(
     value_cols = value_cols or [
         c for c in right.columns if c not in keys and c != right_ts
     ]
-    overlap = [c for c in value_cols if c + suffix in left.columns]
+    overlap = [c for c in [*value_cols, right_ts] if c + suffix in left.columns]
     if overlap:
         raise ValueError(f"suffixed column(s) {overlap} already exist in left")
 
