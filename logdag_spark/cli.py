@@ -704,6 +704,11 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "chunk-docs":
         from logdag_spark.operators.text import chunk_documents
 
+        if args.capacity <= 0 or not 0 <= args.overlap < args.capacity:
+            ap.error(
+                f"chunk-docs needs --capacity > 0 and 0 <= --overlap < capacity "
+                f"(got capacity={args.capacity}, overlap={args.overlap})"
+            )
         docs = spark.read.parquet(args.input)
         out = chunk_documents(docs, chunk_tokens=args.capacity, overlap=args.overlap)
         out.show(20, truncate=False)

@@ -38,7 +38,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from logdag_spark.operators.dedup import shingles
 from logdag_spark.operators.similarity import dot, normalize
 from logdag_spark.operators.text import tokenize
 

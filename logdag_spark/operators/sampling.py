@@ -181,6 +181,9 @@ def mix_order(
     upstream.  Output: input columns + mix_key (rounded to 6 decimals
     for cross-engine exactness).
     """
+    reserved = {"_w", "mix_key"} & set(df.columns)
+    if reserved:
+        raise ValueError(f"columns {sorted(reserved)} collide with mix_order internals")
     w = weights.select(
         F.col("key").alias(key_col), F.col("weight").cast("double").alias("_w")
     )

@@ -43,6 +43,12 @@ def partitioned_prefix_sum(
     ``order_col`` must be numeric/integral (shards are
     ``floor(order / shard_width)``); ``order_col`` values must be unique
     per group for the sum to be well-defined.  Adds ``out_col`` (long).
+
+    NULL keys survive: the offset join is null-safe (``eqNullSafe``), so
+    rows with a NULL ``part_cols`` value (or a NULL order, which shards
+    to NULL) keep flowing through exactly like the single-window
+    equivalent, which groups NULLs together — a plain inner equi-join
+    would silently DROP them.
     """
     reserved = {"_shard", "_offset", out_col} & set(df.columns)
     if reserved:
@@ -64,15 +70,19 @@ def partitioned_prefix_sum(
         .orderBy("_shard")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    keys = [*part_cols, "_shard"]
     offsets = totals.select(
-        *part_cols,
-        "_shard",
+        *[F.col(c).alias(f"_o_{c}") for c in keys],
         F.coalesce(F.sum("_shard_total").over(w_sh), F.lit(0)).alias("_offset"),
     )
+    cond = None
+    for k in keys:
+        eq = sharded[k].eqNullSafe(offsets[f"_o_{k}"])
+        cond = eq if cond is None else cond & eq
     return (
-        sharded.join(F.broadcast(offsets), [*part_cols, "_shard"])
+        sharded.join(F.broadcast(offsets), cond)
         .withColumn(out_col, (F.col("_offset") + within).cast("long"))
-        .drop("_shard", "_offset")
+        .drop("_shard", "_offset", *[f"_o_{k}" for k in keys])
     )
 
 

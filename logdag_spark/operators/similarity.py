@@ -493,10 +493,14 @@ def quantize_embeddings(
     q_i = round(x_i * scale) in [-127, 127] — the storage/transfer
     shape ANN serving quantizes to (reconstruction x ~= q / scale).
 
-    Pure column expressions, no shuffle, no UDF: the max-abs is an
-    `aggregate` over the array, let-bound in a struct so it computes
-    once per row, not once per coordinate.  All-zero vectors get
-    scale 0.0 and an all-zero code (the reconstruction is exact).
+    Pure column expressions, no shuffle, no UDF: inside the code array
+    the max-abs is let-bound in a struct so the per-coordinate lambda
+    reads it rather than re-aggregating (O(dim), not O(dim²)); the
+    scalar ``scale`` column re-evaluates the max-abs aggregate — once
+    per OUTPUT column, which is the floor without a materialization
+    barrier (project collapsing re-inlines shared subexpressions).
+    All-zero vectors get scale 0.0 and an all-zero code (the
+    reconstruction is exact).
 
     Output: (id_col, scale, qvec array<int>).
     """

@@ -71,9 +71,8 @@ def asof_join(
     if reserved:
         raise ValueError(f"left columns {sorted(reserved)} collide with internals")
     keys = [on] if isinstance(on, str) else list(on)
-    value_cols = value_cols or [
-        c for c in right.columns if c not in keys and c != right_ts
-    ]
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in keys and c != right_ts]
     overlap = [c for c in [*value_cols, right_ts] if c + suffix in left.columns]
     if overlap:
         raise ValueError(f"suffixed column(s) {overlap} already exist in left")
@@ -85,6 +84,12 @@ def asof_join(
     payload = F.struct(
         F.col(right_ts).alias("_mts"), *[F.col(c) for c in value_cols]
     )
+    # NULL join keys never match in ASOF/equi semantics (DuckDB, pandas
+    # merge_asof) — but the carry-forward window PARTITIONS NULLs
+    # together, which would fabricate NULL-to-NULL matches; dropping
+    # NULL-key right rows leaves NULL-key left rows unmatched instead
+    for k in keys:
+        right = right.where(F.col(k).isNotNull())
     r = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("_ts"),

@@ -234,7 +234,15 @@ def unigram_logprob(
     Output: (id_col, n_tok, logprob) with logprob = round(avg(-ln p), 6)
     and 0.0 for empty documents.
     """
-    toks = df.select(F.col(id_col), F.explode(tokenize(col)).alias("token"))
+    from pyspark.storagelevel import StorageLevel
+
+    # persisted: in self-scoring mode the exploded token frame feeds the
+    # model aggregate, the total, AND the scoring join — Catalyst plans
+    # each alias as an independent pipeline (no exchange reuse), so
+    # without the persist the corpus regex-split/explode runs 3x
+    toks = df.select(F.col(id_col), F.explode(tokenize(col)).alias("token")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     if model is None:
         model = toks.groupBy("token").agg(F.count("*").alias("n"))
     total = model.agg(F.sum("n").alias("_N"))
@@ -246,12 +254,21 @@ def unigram_logprob(
         .join(m, "token", "left")
         .withColumn("_p", F.coalesce(F.col("n"), F.lit(1)) / F.col("_N"))
         .groupBy(id_col)
-        .agg(F.round(F.avg(-F.log("_p")), 6).alias("logprob"))
+        # n_tok rides the scoring aggregate — a separate tokenize() pass
+        # on the df side would re-split every document a 4th time
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.round(F.avg(-F.log("_p")), 6).alias("logprob"),
+        )
     )
     return (
-        df.select(F.col(id_col), F.size(tokenize(col)).alias("n_tok"))
+        df.select(F.col(id_col))
         .join(scored, id_col, "left")
-        .withColumn("logprob", F.coalesce("logprob", F.lit(0.0)))
+        .select(
+            id_col,
+            F.coalesce("n_tok", F.lit(0)).cast("int").alias("n_tok"),
+            F.coalesce("logprob", F.lit(0.0)).alias("logprob"),
+        )
     )
 
 

@@ -107,3 +107,15 @@ def test_mix_order_respects_weights(spark):
     w2 = spark.createDataFrame([("a", 3.0)], "key string, weight double")
     nulls = mix_order(df, w2, key_col="source").where("mix_key IS NULL").count()
     assert nulls == 1000
+
+
+def test_prefix_sum_keeps_null_keys(spark):
+    """NULL part/order keys must survive the offset join (null-safe),
+    matching the single-window equivalent which groups NULLs."""
+    rows = [(1, "a", 5), (2, "a", 5), (3, None, 7), (None, "a", 9)]
+    df = spark.createDataFrame(rows, "id long, src string, v long")
+    out = partitioned_prefix_sum(df, "v", "id", part_cols=("src",), shard_width=1)
+    assert out.count() == 4  # a plain inner equi-join would drop 2 rows
+    got = {r["id"]: r["prefix_sum"] for r in out.where(F.col("src") == "a").collect()}
+    # NULL id sorts first within its shard group; ids 1,2 follow in order
+    assert got[1] >= 0 and got[2] == got[1] + 5

@@ -159,3 +159,25 @@ def test_asof_tolerance_on_timestamp_ntz(spark, trades, quotes):
         for r in asof_join(tn, qn, on="key", tolerance_s=300).collect()
     }
     assert out == {1: 1.0, 2: 2.0, 3: None, 4: None, 5: None}
+
+
+def test_asof_null_keys_never_match(spark):
+    from logdag_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, None, 10.0), (2, "k", 10.0)], "tid long, key string, ts double"
+    )
+    right = spark.createDataFrame(
+        [(None, 5.0, 99.0), ("k", 5.0, 7.0)], "key string, ts double, px double"
+    )
+    out = {r["tid"]: r["px_r"] for r in asof_join(left, right, on="key").collect()}
+    # NULL keys never match (DuckDB ASOF / pandas merge_asof semantics);
+    # the NULL-key left row survives unmatched
+    assert out == {1: None, 2: 7.0}
+
+
+def test_asof_empty_value_cols_means_timestamp_only(spark, trades, quotes):
+    from logdag_spark.operators.temporal import asof_join
+
+    out = asof_join(trades, quotes, on="key", value_cols=[])
+    assert "px_r" not in out.columns and "ts_r" in out.columns
