@@ -47,6 +47,10 @@
     python -m logdag_spark chunk-docs   --input DOCS_PARQUET [--capacity 512] [--overlap 0]
     python -m logdag_spark budget-docs  --input DOCS_PARQUET --budget N
 
+Every document command also accepts ``--checkpoint-table NAME`` to
+commit its result through the --warehouse Catalog (manifest-gated,
+lineage-recorded, resumable) instead of a bare ``--out`` parquet dump.
+
 Designed for ``spark-submit --py-files logdag_spark.zip`` on a cluster;
 locally it builds its own session.
 """
@@ -123,6 +127,11 @@ def _common(p: argparse.ArgumentParser) -> None:
                    help="chunk-docs tokens shared between consecutive chunks")
     p.add_argument("--budget", type=int, default=None,
                    help="budget-docs per-source token budget")
+    p.add_argument("--checkpoint-table", default=None,
+                   help="document commands: checkpoint the result into the "
+                        "--warehouse Catalog under this table name "
+                        "(manifest-gated commit + lineage) instead of a "
+                        "bare parquet dump")
     p.add_argument(
         "--conditions", nargs="*", default=[],
         help="show-edge search conditions: node=EID gid=KEY host=SUBSTR "
@@ -132,6 +141,12 @@ def _common(p: argparse.ArgumentParser) -> None:
         "--rule", default="both", choices=["all", "both", "either", "log-snmp"],
         help="show-match edge-match rule (reference eval/match_edge.py)",
     )
+
+
+_DOC_CMDS = frozenset({
+    "dedup-docs", "ann-topk", "sample-docs", "pack-docs", "vocab",
+    "curate-docs", "chunk-docs", "budget-docs",
+})
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -726,6 +741,16 @@ def main(argv: list[str] | None = None) -> int:
         if args.out:
             out.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")
+    # document-pipeline commands can checkpoint their result through the
+    # Catalog — the same manifest-gated commit + per-partition lineage
+    # the log pipeline's stages get, so a curation run is resumable and
+    # auditable (`lineage` shows it) instead of a bare parquet dump
+    if args.checkpoint_table and args.cmd in _DOC_CMDS:
+        from logdag_spark.io.catalog import Catalog
+
+        cat = Catalog(spark, args.warehouse, iceberg_catalog=args.iceberg_catalog)
+        cat.write(out, args.checkpoint_table, stage=args.cmd)
+        print(f"checkpointed {args.checkpoint_table} in {args.warehouse}")
     spark.stop()
     return 0
 

@@ -353,3 +353,20 @@ def test_chunk_and_budget_docs_commands(cli_run, spark, sf001_dir, tmp_path):
     assert cli_run("budget-docs", "--input", docs, "--budget", "500") == 0
     with pytest.raises(SystemExit):
         cli_run("budget-docs", "--input", docs)
+
+
+def test_doc_command_checkpoint_table(cli_run, spark, sf001_dir, tmp_path):
+    """--checkpoint-table routes a document command's result through the
+    Catalog: manifest-gated table + lineage record, readable back."""
+    wh = str(tmp_path / "doc_wh")
+    docs = f"{sf001_dir}/documents.parquet"
+    assert cli_run("curate-docs", "--input", docs, "--method", "repetition",
+                   "--warehouse", wh, "--checkpoint-table", "doc_quality") == 0
+    from logdag_spark.io.catalog import Catalog
+
+    cat = Catalog(spark, wh)
+    got = cat.read("doc_quality")
+    assert {"dup_token_frac", "keep"} <= set(got.columns)
+    assert got.count() == spark.read.parquet(docs).count()
+    stages = {r["stage"] for r in cat.lineage().select("stage").collect()}
+    assert "curate-docs" in stages
