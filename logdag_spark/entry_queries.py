@@ -3168,6 +3168,34 @@ FROM documents
 """
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source contamination matrix
+    (curation.source_ngram_overlap): distinct shared 4-grams per
+    unordered source pair."""
+    from logdag_spark.operators.curation import source_ngram_overlap
+
+    d = _load(spark, sf_dir, "documents")
+    return source_ngram_overlap(d, n=4)
+
+
+SQL_SOURCE_OVERLAP = _SQL_DOC_TOKS.replace(
+    "SELECT doc_id,", "SELECT doc_id, source,"
+) + f""",
+g AS (
+  SELECT DISTINCT source AS s, gram FROM (
+    SELECT source, unnest(CASE WHEN len(toks) >= 4 THEN
+      list_transform(range(1, len(toks) - 4 + 2),
+                     i -> array_to_string(toks[i:i+3], ' '))
+      ELSE []::varchar[] END) AS gram
+    FROM t
+  )
+)
+SELECT a.s AS src1, b.s AS src2, count(*)::bigint AS shared_grams
+FROM g a JOIN g b ON a.gram = b.gram AND a.s < b.s
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     # §2.4 aggregations / discretize
     "tumbling_count_1m": (q_tumbling_count_1m, SQL_TUMBLING),
@@ -3255,6 +3283,7 @@ QUERIES = {
     "doc_logprob": (q_doc_logprob, SQL_DOC_LOGPROB),
     "quantize_embeddings": (q_quantize_embeddings, SQL_QUANTIZE),
     "mix_order_docs": (q_mix_order_docs, SQL_MIX_ORDER),
+    "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
     # Spark-only (rows-only checks)
     "kmeans_daily": (q_kmeans_daily, None),
     "anomaly_iforest": (q_anomaly_iforest, None),

@@ -113,6 +113,40 @@ def decontaminate(
     )
 
 
+def source_ngram_overlap(
+    df: DataFrame,
+    n: int = 4,
+    col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source contamination matrix: for every unordered source
+    pair, how many distinct token n-grams they share — the corpus-level
+    view of leakage between slices (e.g. a benchmark slice vs crawl
+    slices), where :func:`decontaminate` is the per-document view.
+
+    Shape: one distinct (source, gram) frame — persisted, because the
+    pair join is a self-join and Catalyst would otherwise re-run the
+    tokenize/explode/distinct pipeline once per alias — then an
+    equi-join on gram with ``src1 < src2`` and a pair-count aggregate.
+    The per-gram fan-out is bounded by |sources|² (sources are O(10²)),
+    never by corpus rows.
+
+    Output: (src1, src2, shared_grams), only pairs sharing >= 1 gram.
+    """
+    g = (
+        df.select(F.col(source_col).alias("_s"), F.explode(token_ngrams(col, n)).alias("gram"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a, b = g.alias("a"), g.alias("b")
+    return (
+        a.join(b, "gram")
+        .where(F.col("a._s") < F.col("b._s"))
+        .groupBy(F.col("a._s").alias("src1"), F.col("b._s").alias("src2"))
+        .agg(F.count("*").alias("shared_grams"))
+    )
+
+
 # --------------------------------------------------------- repetition filter
 
 

@@ -187,3 +187,24 @@ def test_quantize_embeddings_roundtrip(spark):
     assert out[1]["scale"] == 127.0
     assert out[2]["scale"] == 0.0 and out[2]["qvec"] == [0, 0, 0]
     assert out[3]["qvec"] == [127]
+
+
+def test_source_ngram_overlap_counts_shared(spark):
+    from logdag_spark.operators.curation import source_ngram_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "s1"),
+            (2, "alpha beta gamma delta epsilon", "s2"),  # shares 1 4-gram run
+            (3, "totally different words here", "s3"),
+            (4, "alpha beta gamma delta", "s1"),  # duplicate gram, same source
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r["src1"], r["src2"]): r["shared_grams"]
+        for r in source_ngram_overlap(docs, n=4).collect()
+    }
+    # s1/s2 share the distinct gram "alpha beta gamma delta" (and "beta
+    # gamma delta epsilon" is s2-only); duplicates within s1 count once
+    assert got == {("s1", "s2"): 1}
