@@ -3142,6 +3142,17 @@ FROM m
 """
 
 
+def q_semantic_dedup_ivf(spark, sf_dir):
+    """SemDeDup scale path (curation.semantic_dedup_ivf): IVF cell from
+    spherical k-means bounds the pair join (approximate by construction
+    — cross-cell near-dups are never compared, so no SQL oracle; the
+    planted-pair recall test covers it)."""
+    from logdag_spark.operators.curation import semantic_dedup_ivf
+
+    e = _load(spark, sf_dir, "embeddings")
+    return semantic_dedup_ivf(e, threshold=0.35, dim=64, n_clusters=8)
+
+
 def q_mix_order_docs(spark, sf_dir):
     """Deterministic weighted interleave (operators/sampling.mix_order):
     sources with even index get weight 3, odd get 1; sorting by mix_key
@@ -3285,6 +3296,7 @@ QUERIES = {
     "mix_order_docs": (q_mix_order_docs, SQL_MIX_ORDER),
     "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
     # Spark-only (rows-only checks)
+    "semantic_dedup_ivf": (q_semantic_dedup_ivf, None),
     "kmeans_daily": (q_kmeans_daily, None),
     "anomaly_iforest": (q_anomaly_iforest, None),
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, None),

@@ -81,6 +81,7 @@ def decontaminate(
     n: int = 3,
     col: str = "text",
     id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: per corpus document, how many of its
     n-gram *positions* hit an n-gram that appears anywhere in the
@@ -93,12 +94,16 @@ def decontaminate(
     The benchmark gram dictionary is broadcast (eval suites are small);
     the corpus side's only exchange is the per-document count, already
     collapsed map-side because one document's exploded grams never leave
-    its partition.
+    its partition.  For a benchmark too large to broadcast (cross-corpus
+    decontamination), pass ``broadcast_benchmark=False`` — the gram join
+    becomes a shuffle join and AQE handles the gram-frequency skew.
     """
     grams = benchmark_ngrams(benchmark, n, col)
+    if broadcast_benchmark:
+        grams = F.broadcast(grams)
     hits = (
         corpus.select(F.col(id_col).alias("_id"), F.explode(token_ngrams(col, n)).alias("gram"))
-        .join(F.broadcast(grams), "gram")
+        .join(grams, "gram")
         .groupBy("_id")
         .agg(F.count("*").alias("n_hits"))
     )
@@ -281,6 +286,12 @@ def semantic_dedup(
         F.col(cluster_col).alias("_cl"),
         normalize(F.col(vec_col)).alias("_nv"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    return _semantic_dedup_on(norm, id_col, cluster_col, threshold)
+
+
+def _semantic_dedup_on(
+    norm: DataFrame, id_col: str, cluster_col: str, threshold: float
+) -> DataFrame:
     a, b = norm.alias("a"), norm.alias("b")
     dom = (
         a.join(
@@ -301,3 +312,39 @@ def semantic_dedup(
             F.col("dup_of").isNull().alias("keep"),
         )
     )
+
+
+def semantic_dedup_ivf(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    n_clusters: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> DataFrame:
+    """The corpus-scale :func:`semantic_dedup` path made concrete: the
+    cluster column is an IVF cell from spherical k-means
+    (``similarity.kmeans_centroids`` + ``assign_cluster``), so the
+    quadratic pair join is bounded by max cell size (choose n_clusters
+    ~ sqrt(N)).  APPROXIMATE by construction — a near-duplicate pair
+    split across two cells is never compared (the SemDeDup trade-off);
+    raise n_clusters for speed, lower it for recall.
+
+    Output: (id_col, ivf_cell, dup_of, keep).
+    """
+    from logdag_spark.operators.similarity import (
+        assign_cluster,
+        kmeans_centroids,
+    )
+
+    cent = kmeans_centroids(
+        df, dim, n_clusters, n_iter, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    norm = df.select(
+        F.col(id_col).alias("_id"),
+        assign_cluster(cent)(F.col(vec_col)).alias("_cl"),
+        normalize(F.col(vec_col)).alias("_nv"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    return _semantic_dedup_on(norm, id_col, "ivf_cell", threshold)

@@ -208,3 +208,27 @@ def test_source_ngram_overlap_counts_shared(spark):
     # s1/s2 share the distinct gram "alpha beta gamma delta" (and "beta
     # gamma delta epsilon" is s2-only); duplicates within s1 count once
     assert got == {("s1", "s2"): 1}
+
+
+def test_semantic_dedup_ivf_finds_planted_dups(spark):
+    import random
+
+    from logdag_spark.operators.curation import semantic_dedup_ivf
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(60):
+        base = [rng.gauss(0, 1) for _ in range(8)]
+        rows.append((2 * i, base))
+        # planted near-duplicate of every even id
+        rows.append((2 * i + 1, [x * 1.0001 for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup_ivf(df, threshold=0.999, dim=8, n_clusters=4)
+    assert out.count() == 120
+    dups = {r["vec_id"]: r["dup_of"] for r in out.where("NOT keep").collect()}
+    # scaled copies are cosine-identical and land in the same cell:
+    # nearly all odd ids collapse onto their even partner
+    hit = sum(1 for v, d in dups.items() if v % 2 == 1 and d == v - 1)
+    assert hit >= 50  # recall >= ~0.83 on planted pairs
+    # survivors keep NULL dup_of
+    assert out.where("keep AND dup_of IS NOT NULL").count() == 0
