@@ -3142,6 +3142,26 @@ FROM m
 """
 
 
+def q_doc_fingerprint_md5(spark, sf_dir):
+    """Winnowing-style document fingerprint on the SQL-portable md5
+    variant (text.fingerprint_portable) — the exact-oracle twin of the
+    rows-only xxhash64 `doc_fingerprint` entry."""
+    from logdag_spark.operators.text import fingerprint_portable
+
+    d = _load(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_portable("text").alias("fp"))
+
+
+SQL_DOC_FP_MD5 = _SQL_DOC_TOKS + """
+SELECT doc_id,
+       list_min(list_transform(
+         range(1, greatest(len(toks) - 8, 0) + 2),
+         i -> ('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 8))::bigint
+       )) AS fp
+FROM t
+"""
+
+
 def q_semantic_dedup_ivf(spark, sf_dir):
     """SemDeDup scale path (curation.semantic_dedup_ivf): IVF cell from
     spherical k-means bounds the pair join (approximate by construction
@@ -3295,6 +3315,7 @@ QUERIES = {
     "quantize_embeddings": (q_quantize_embeddings, SQL_QUANTIZE),
     "mix_order_docs": (q_mix_order_docs, SQL_MIX_ORDER),
     "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
+    "doc_fingerprint_md5": (q_doc_fingerprint_md5, SQL_DOC_FP_MD5),
     # Spark-only (rows-only checks)
     "semantic_dedup_ivf": (q_semantic_dedup_ivf, None),
     "kmeans_daily": (q_kmeans_daily, None),

@@ -115,6 +115,32 @@ def fingerprint(col: str = "text", window: int = 8) -> Column:
     return F.transform(F.array(tokenize(col)), per_doc)[0]
 
 
+def fingerprint_portable(col: str = "text", window: int = 8) -> Column:
+    """:func:`fingerprint` on a SQL-portable hash: min over token
+    ``window``-gram positions of the first 8 md5 hex digits parsed as an
+    integer.  md5 is engine-identical (Spark and DuckDB emit the same
+    hex), so this variant gets an EXACT oracle where the xxhash64
+    default (faster, Spark-only) is rows-only checked.  Same let-binding
+    shape as :func:`fingerprint`."""
+
+    def per_doc(toks: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0)))
+        return F.array_min(
+            F.transform(
+                idx,
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.array_join(F.slice(toks, i + 1, window), " ")),
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("long"),
+            )
+        )
+
+    return F.transform(F.array(tokenize(col)), per_doc)[0]
+
+
 def add_text_features(df: DataFrame, col: str = "text") -> DataFrame:
     return (
         df.withColumn("n_tokens", token_count(col))
