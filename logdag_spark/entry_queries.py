@@ -3142,6 +3142,60 @@ FROM m
 """
 
 
+def q_minhash_candidates_md5(spark, sf_dir):
+    """Banded MinHash-LSH candidates on the SQL-portable md5 hash family
+    (dedup.minhash_lsh_candidates(hash_fn='md5')) — the exact-oracle
+    twin of the xxhash64 `minhash_lsh_candidates` entry: same shingles,
+    same affine universal-hash mixing, same banding; the oracle spells
+    every mix constant out."""
+    from logdag_spark.operators.dedup import minhash_lsh_candidates
+
+    d = _load(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(
+        d, num_hashes=16, bands=4, hash_fn="md5"
+    ).orderBy("id1", "id2")
+
+
+def _minhash_md5_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    P = (1 << 31) - 1
+    mixes = []
+    for i in range(num_hashes):
+        a = (0x9E3779B9 * (2 * i + 1)) % P or 1
+        b = (0x85EBCA6B * (i + 1)) % P or 1
+        c = (0xC2B2AE35 * (i + 1)) % P
+        mixes.append(f"min((h1*{a} + h2*{b} + {c}) % {P}) AS h{i}")
+    rpb = num_hashes // bands
+    band_selects = [
+        "SELECT doc_id, {b} AS band, concat_ws('-', {cols}) AS bucket FROM sig".format(
+            b=b, cols=", ".join(f"h{b * rpb + r}" for r in range(rpb))
+        )
+        for b in range(bands)
+    ]
+    return _SQL_DOC_TOKS + f""",
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 3, 0) + 2),
+                               i -> array_to_string(toks[i:i+2], ' '))) AS s
+  FROM t
+),
+hb AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(s), 1, 8))::bigint & 2147483647 AS h1,
+         ('0x' || substr(md5(s), 9, 8))::bigint & 2147483647 AS h2
+  FROM sh
+),
+sig AS (SELECT doc_id, {", ".join(mixes)} FROM hb GROUP BY doc_id),
+banded AS ({" UNION ALL ".join(band_selects)})
+SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+ORDER BY id1, id2
+"""
+
+
+SQL_MINHASH_MD5 = _minhash_md5_sql()
+
+
 def q_doc_fingerprint_md5(spark, sf_dir):
     """Winnowing-style document fingerprint on the SQL-portable md5
     variant (text.fingerprint_portable) — the exact-oracle twin of the
@@ -3316,6 +3370,7 @@ QUERIES = {
     "mix_order_docs": (q_mix_order_docs, SQL_MIX_ORDER),
     "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
     "doc_fingerprint_md5": (q_doc_fingerprint_md5, SQL_DOC_FP_MD5),
+    "minhash_candidates_md5": (q_minhash_candidates_md5, SQL_MINHASH_MD5),
     # Spark-only (rows-only checks)
     "semantic_dedup_ivf": (q_semantic_dedup_ivf, None),
     "kmeans_daily": (q_kmeans_daily, None),

@@ -80,6 +80,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     k: int = 3,
     num_hashes: int = 32,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signatures, relationally: explode shingles once, hash each
     against ``num_hashes`` seeds, take per-doc minima in ONE hash
@@ -105,14 +106,31 @@ def minhash_signatures(
     # ANSI-mode long math is safe, and the shingle string is hashed once.
     P = (1 << 31) - 1  # Mersenne prime
     M31 = F.lit((1 << 31) - 1).cast("long")
-    h64 = F.xxhash64("_sh")
-    base = df.select(
+    exploded = df.select(
         F.col(id_col).alias("_id"), F.explode(shingles(col, k)).alias("_sh")
-    ).select(
-        "_id",
-        h64.bitwiseAND(M31).alias("_h1"),
-        F.shiftrightunsigned(h64, 31).bitwiseAND(M31).alias("_h2"),
     )
+    if hash_fn == "xxhash64":
+        h64 = F.xxhash64("_sh")
+        base = exploded.select(
+            "_id",
+            h64.bitwiseAND(M31).alias("_h1"),
+            F.shiftrightunsigned(h64, 31).bitwiseAND(M31).alias("_h2"),
+        )
+    elif hash_fn == "md5":
+        # SQL-portable base: md5 hex is engine-identical, so the two
+        # 31-bit halves come from the first/second 8 hex digits —
+        # slower than xxhash64 (string hex + parse) but exactly
+        # replicable in the DuckDB oracle
+        hx = F.md5("_sh")
+        base = exploded.select(
+            "_id",
+            F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+            .bitwiseAND(M31).alias("_h1"),
+            F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+            .bitwiseAND(M31).alias("_h2"),
+        )
+    else:
+        raise ValueError(f"hash_fn must be xxhash64|md5, got {hash_fn!r}")
 
     def mix(i: int):
         # deterministic per-seed affine constants in [1, P)
@@ -142,6 +160,7 @@ def minhash_lsh_candidates(
     k: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH.
 
@@ -161,20 +180,23 @@ def minhash_lsh_candidates(
     ``spark.catalog.clearCache()`` between them.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, col, id_col, k, num_hashes)
+    sig = minhash_signatures(df, col, id_col, k, num_hashes, hash_fn=hash_fn)
+
+    def bucket_of(b: int):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if hash_fn == "md5":
+            # portable bucket: the band's raw signature joined as text
+            # (xxhash64 of the band is Spark-only)
+            return F.concat_ws("-", *[c.cast("string") for c in cols])
+        return F.xxhash64(*cols).cast("string")
+
     banded = sig.select(
         "_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"h{b * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
+                        F.lit(b).alias("band"), bucket_of(b).alias("bucket")
                     )
                     for b in range(bands)
                 ]
