@@ -3196,6 +3196,52 @@ ORDER BY id1, id2
 SQL_MINHASH_MD5 = _minhash_md5_sql()
 
 
+def q_simhash_near_dups_md5(spark, sf_dir):
+    """SimHash near-dups on the SQL-portable md5 base hash
+    (dedup.simhash_near_dups(hash_fn='md5')) — same packed-lane vote
+    aggregate, pigeonhole banding, and Hamming verification as the
+    xxhash64 fast path; the oracle recomputes all 60 live signature
+    bits by explicit per-bit majority vote."""
+    from logdag_spark.operators.dedup import simhash_near_dups
+
+    d = _load(spark, sf_dir, "documents")
+    return simhash_near_dups(d, max_hamming=3, hash_fn="md5").orderBy(
+        "id1", "id2"
+    )
+
+
+def _simhash_md5_sql(max_hamming: int = 3, n_tables: int = 4) -> str:
+    # 60 live bits (15 md5 hex digits parse into a signed bigint; bits
+    # 60-63 are constant 0 on both engines)
+    nbs = ", ".join(
+        f"sum((hv >> {b}) & 1) AS nb{b}" for b in range(60)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN 2 * nb{b} > n THEN (1::bigint << {b}) ELSE 0 END)"
+        for b in range(60)
+    )
+    width = 64 // n_tables
+    slices = " UNION ALL ".join(
+        f"SELECT doc_id, sig, {t} AS t, (sig >> {t * width}) & {(1 << width) - 1} AS slc FROM sig"
+        for t in range(n_tables)
+    )
+    return _SQL_DOC_TOKS + f""",
+tok AS (SELECT doc_id, unnest(toks) AS tkn FROM t),
+h AS (SELECT doc_id, ('0x' || substr(md5(tkn), 1, 15))::bigint AS hv FROM tok),
+v AS (SELECT doc_id, count(*) AS n, {nbs} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, {sig_terms} AS sig FROM v),
+sl AS ({slices})
+SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       bit_count(xor(a.sig, b.sig))::int AS hamming
+FROM sl a JOIN sl b ON a.t = b.t AND a.slc = b.slc AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+ORDER BY id1, id2
+"""
+
+
+SQL_SIMHASH_MD5 = _simhash_md5_sql()
+
+
 def q_doc_fingerprint_md5(spark, sf_dir):
     """Winnowing-style document fingerprint on the SQL-portable md5
     variant (text.fingerprint_portable) — the exact-oracle twin of the
@@ -3371,6 +3417,7 @@ QUERIES = {
     "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
     "doc_fingerprint_md5": (q_doc_fingerprint_md5, SQL_DOC_FP_MD5),
     "minhash_candidates_md5": (q_minhash_candidates_md5, SQL_MINHASH_MD5),
+    "simhash_near_dups_md5": (q_simhash_near_dups_md5, SQL_SIMHASH_MD5),
     # Spark-only (rows-only checks)
     "semantic_dedup_ivf": (q_semantic_dedup_ivf, None),
     "kmeans_daily": (q_kmeans_daily, None),

@@ -443,7 +443,8 @@ def near_dup_groups(
 
 
 def simhash_signatures(
-    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, col: str = "text", id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash signatures, relationally: explode tokens once, pack the 64
     per-bit vote counters into 16 longs (4 sixteen-bit lanes each) in the
@@ -463,9 +464,19 @@ def simhash_signatures(
     majority vote ``2*n_b > n`` equals the former ±1-sum ``votes > 0``
     (ties -> bit 0).  Output: (_id, _sig long).
     """
+    if hash_fn == "xxhash64":
+        h = F.xxhash64("_t")
+    elif hash_fn == "md5":
+        # SQL-portable 60-bit base from the first 15 md5 hex digits (16
+        # would overflow signed bigint parsing in the oracle engine);
+        # signature bits 60-63 see a constant 0 and majority-vote to 0 on
+        # BOTH engines — a documented quality haircut of the portable twin
+        h = F.conv(F.substring(F.md5("_t"), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"hash_fn must be xxhash64|md5, got {hash_fn!r}")
     toks = df.select(
         F.col(id_col).alias("_id"), F.explode(tokenize(col)).alias("_t")
-    ).withColumn("_h", F.xxhash64("_t"))
+    ).withColumn("_h", h)
     one = F.lit(1).cast("long")
 
     def pack(j: int):
@@ -512,6 +523,7 @@ def hamming64(a: Column, b: Column) -> Column:
 def simhash_near_dups(
     df: DataFrame, col: str = "text", id_col: str = "doc_id",
     max_hamming: int = 3, n_tables: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance <= max_hamming — EXACT
     (recall 1.0 vs brute force, covered by tests).
@@ -555,7 +567,7 @@ def simhash_near_dups(
             .alias("slice")
         )
 
-    sig = simhash_signatures(df, col, id_col).persist(
+    sig = simhash_signatures(df, col, id_col, hash_fn=hash_fn).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     slices = sig.select(
