@@ -188,7 +188,7 @@ def minhash_lsh_candidates(
             # portable bucket: the band's raw signature joined as text
             # (xxhash64 of the band is Spark-only)
             return F.concat_ws("-", *[c.cast("string") for c in cols])
-        return F.xxhash64(*cols).cast("string")
+        return F.xxhash64(*cols)
 
     banded = sig.select(
         "_id",
