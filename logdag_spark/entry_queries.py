@@ -1659,6 +1659,91 @@ ORDER BY 1, 2
 """
 
 
+def q_stream_sessions(spark, sf_dir):
+    """§2.10 streaming SESSIONIZATION, oracle-checked: the events table
+    as a bounded availableNow stream through the same
+    ``sessionize()`` call the batch entry uses (session_window is
+    engine-native in both modes), watermark 10 min, gap 6 h.  For a
+    static single-file input the append-mode emission set is exactly the
+    sessions the final watermark has closed — gaps-and-islands SQL with
+    the same watermark cut models it."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from logdag_spark.operators.temporal import sessionize
+
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = tempfile.mkdtemp(prefix="stream_sess_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    sessions = sessionize(
+        stream.withWatermark("ts", "10 minutes"),
+        gap="6 hours", key_cols=("user_id",),
+    )
+    ck_dir = tempfile.mkdtemp(prefix="ck_sess_")
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("availableNow stream did not finish in 300s")
+        rows = (
+            spark.table(name)
+            .select(
+                "user_id",
+                F.unix_micros("session_start").alias("start_us"),
+                F.unix_micros("session_end").alias("end_us"),
+                F.col("n_events").cast("bigint").alias("n_events"),
+            )
+            .collect()
+        )
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(ck_dir, ignore_errors=True)
+        shutil.rmtree(src_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "user_id bigint, start_us bigint, end_us bigint, n_events bigint"
+    ).orderBy("user_id", "start_us")
+
+
+SQL_STREAM_SESSIONS = """
+WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+), sess AS (
+  SELECT user_id, epoch_us(min(ts)) AS start_us,
+         epoch_us(max(ts) + INTERVAL 6 HOUR) AS end_us,
+         count(*)::bigint AS n_events
+  FROM s GROUP BY user_id, sid
+)
+SELECT sess.user_id, sess.start_us, sess.end_us, sess.n_events
+FROM sess, mx
+WHERE sess.end_us <= mx.m - 600000000
+ORDER BY user_id, start_us
+"""
+
+
 def q_stream_burst_monitor(spark, sf_dir):
     """§2.10 custom STATEFUL streaming operator, oracle-checked: the
     events table as a bounded availableNow stream through
@@ -3393,6 +3478,7 @@ QUERIES = {
     "near_dup_groups": (q_near_dup_groups, SQL_NEAR_DUP_GROUPS),
     "stream_event_counts": (q_stream_event_counts, SQL_STREAM_COUNTS),
     "stream_burst_monitor": (q_stream_burst_monitor, SQL_STREAM_BURST),
+    "stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
     "stream_content_dedup": (q_stream_content_dedup, SQL_STREAM_DEDUP),
     "sample_split": (q_sample_split, SQL_SAMPLE_SPLIT),
     "stratified_sample_docs": (q_stratified_sample_docs, SQL_STRATIFIED_SAMPLE),
