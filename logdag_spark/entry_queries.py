@@ -983,6 +983,7 @@ def _mult_of(name: str) -> int:
         "strata": sampling.SALT_STRATA,
         "pack": sampling.SALT_PACK,
         "mix": sampling.SALT_MIX,
+        "cap": sampling.SALT_CAP,
     }[name]
     return sampling.bucket_multiplier(salt)
 
@@ -3412,6 +3413,103 @@ GROUP BY 1, 2
 """
 
 
+def q_cap_per_source(spark, sf_dir):
+    """Per-source document quota (sampling.cap_per_group): each source
+    keeps a uniform pseudo-random 20 of its docs; rank comes from the
+    two-pass partitioned_rank (shards of the bucket domain), never a
+    per-source window — parallelism scales with n_shards, not with the
+    O(10) sources."""
+    from logdag_spark.operators.sampling import cap_per_group
+
+    d = _load(spark, sf_dir, "documents")
+    return (
+        cap_per_group(d, cap=20, n_shards=16)
+        .select("doc_id", "source", "cap_rank", "keep")
+        .orderBy("doc_id")
+    )
+
+
+SQL_CAP_PER_SOURCE = f"""
+WITH b AS (
+  SELECT doc_id, source,
+         ((doc_id % 2147483647) * {_mult_of("cap")}) % 2147483647 AS bucket
+  FROM documents
+), r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id)
+             AS cap_rank
+  FROM b
+)
+SELECT doc_id, source, cap_rank::bigint AS cap_rank, cap_rank <= 20 AS keep
+FROM r ORDER BY doc_id
+"""
+
+
+def q_top_quarter_longest(spark, sf_dir):
+    """Per-group top-fraction quality gate
+    (curation.top_fraction_by_score): keep each source's longest
+    ceil(n/4) docs by token count — integer rank + integer cap
+    semantics, so the SQL oracle reproduces boundary decisions exactly
+    (no float percentile threshold)."""
+    from logdag_spark.operators.curation import top_fraction_by_score
+    from logdag_spark.operators.text import token_count
+
+    d = _load(spark, sf_dir, "documents").withColumn(
+        "n_tok", token_count().cast("int")
+    )
+    return (
+        top_fraction_by_score(d, 1, 4, "n_tok", shard_width=16)
+        .select("doc_id", "source", "n_tok", "score_rank", "keep")
+        .orderBy("doc_id")
+    )
+
+
+SQL_TOP_QUARTER = """
+WITH t AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9_'']+'),
+                         x -> x <> ''))::int AS n_tok
+  FROM documents
+), n AS (
+  SELECT source, count(*) AS cnt FROM t GROUP BY 1
+), r AS (
+  SELECT t.*, row_number() OVER (PARTITION BY source
+                                 ORDER BY n_tok DESC, doc_id) AS score_rank
+  FROM t
+)
+SELECT r.doc_id, r.source, r.n_tok, score_rank::bigint AS score_rank,
+       score_rank <= ((cnt + 3) // 4) AS keep
+FROM r JOIN n USING (source) ORDER BY doc_id
+"""
+
+
+def q_dup_gram_stats(spark, sf_dir):
+    """Cross-document duplicated-text diagnostics (curation.
+    dup_gram_stats): per doc, how many of its 4-gram positions carry a
+    gram shared with another doc.  Counts only — a gram in B docs costs
+    B joined rows, never B² pairs."""
+    from logdag_spark.operators.curation import dup_gram_stats
+
+    d = _load(spark, sf_dir, "documents")
+    return dup_gram_stats(d, n=4).orderBy("doc_id")
+
+
+SQL_DUP_GRAM_STATS = _SQL_DOC_TOKS + f""",
+g AS ({_sql_ngrams(4)}),
+pg AS (SELECT doc_id, gram, count(*) AS occ FROM g GROUP BY 1, 2),
+gd AS (SELECT gram, count(*) AS n_docs FROM pg GROUP BY 1),
+s AS (
+  SELECT pg.doc_id, sum(occ) AS n_grams,
+         sum(CASE WHEN n_docs >= 2 THEN occ ELSE 0 END) AS dup_grams
+  FROM pg JOIN gd USING (gram) GROUP BY 1
+)
+SELECT t.doc_id AS doc_id, coalesce(n_grams, 0)::bigint AS n_grams,
+       coalesce(dup_grams, 0)::bigint AS dup_grams
+FROM t LEFT JOIN s ON t.doc_id = s.doc_id
+ORDER BY t.doc_id
+"""
+
+
 QUERIES = {
     # §2.4 aggregations / discretize
     "tumbling_count_1m": (q_tumbling_count_1m, SQL_TUMBLING),
@@ -3501,6 +3599,9 @@ QUERIES = {
     "quantize_embeddings": (q_quantize_embeddings, SQL_QUANTIZE),
     "mix_order_docs": (q_mix_order_docs, SQL_MIX_ORDER),
     "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
+    "cap_per_source": (q_cap_per_source, SQL_CAP_PER_SOURCE),
+    "top_quarter_longest": (q_top_quarter_longest, SQL_TOP_QUARTER),
+    "dup_gram_stats": (q_dup_gram_stats, SQL_DUP_GRAM_STATS),
     "doc_fingerprint_md5": (q_doc_fingerprint_md5, SQL_DOC_FP_MD5),
     "minhash_candidates_md5": (q_minhash_candidates_md5, SQL_MINHASH_MD5),
     "simhash_near_dups_md5": (q_simhash_near_dups_md5, SQL_SIMHASH_MD5),

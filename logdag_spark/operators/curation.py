@@ -217,6 +217,118 @@ def repetition_filter(
     )
 
 
+def top_fraction_by_score(
+    df: DataFrame,
+    num: int,
+    den: int,
+    score_col: str,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    shard_width: int = 16,
+) -> DataFrame:
+    """Keep the top ``num/den`` fraction of each group by an INTEGRAL
+    score (e.g. the longest quarter of each source by token count) with
+    pure integer semantics: a group of ``n`` rows keeps its best
+    ``ceil(n * num / den)`` — no float threshold, so a SQL oracle can
+    reproduce the boundary decision exactly (a percentile-interpolation
+    threshold risks a 1-ulp disagreement flipping boundary rows).
+
+    Rank = ``row_number() OVER (PARTITION BY part_col ORDER BY score
+    DESC, id)`` computed scale-safely via :func:`~logdag_spark.
+    operators.scan.partitioned_rank` on the negated score (shards slice
+    the score domain, so parallelism scales with score spread /
+    ``shard_width``, not with the handful of groups).  Group sizes are
+    a tiny aggregate broadcast back as caps.
+
+    Output: input columns + ``score_rank`` (long, 1-based, best = 1) +
+    ``keep`` (boolean).  ``score_col`` must be integral and non-NULL.
+    """
+    from logdag_spark.operators.scan import partitioned_rank
+
+    if num < 0 or den <= 0:
+        raise ValueError(f"need num >= 0 and den > 0, got {num}/{den}")
+    reserved = {"_neg_score", "_cap", "score_rank", "keep"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"columns {sorted(reserved)} collide with top_fraction internals"
+        )
+    ranked = partitioned_rank(
+        df.withColumn("_neg_score", -F.col(score_col).cast("long")),
+        "_neg_score",
+        id_col,
+        part_cols=(part_col,),
+        shard_width=shard_width,
+        out_col="score_rank",
+    )
+    caps = df.groupBy(part_col).agg(
+        # ceil(n * num / den) in pure long arithmetic
+        ((F.count(F.lit(1)) * num + (den - 1)) / den)
+        .cast("long")
+        .alias("_cap")
+    )
+    caps = caps.select(F.col(part_col).alias("_cap_key"), "_cap")
+    return (
+        ranked.join(
+            F.broadcast(caps), ranked[part_col].eqNullSafe(caps["_cap_key"])
+        )
+        .withColumn("keep", F.col("score_rank") <= F.col("_cap"))
+        .drop("_neg_score", "_cap", "_cap_key")
+    )
+
+
+# ------------------------------------------------- cross-doc duplicated text
+
+
+def dup_gram_stats(
+    df: DataFrame, n: int = 4, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-document duplicated-text diagnostics at n-gram granularity
+    (the detection half of substring-level dedup à la Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    each document, how many of its n-gram POSITIONS carry a gram that
+    also appears in at least one OTHER document.
+
+    Output: (id, ``n_grams`` total gram positions, ``dup_grams``
+    positions whose gram occurs in >= 2 distinct docs) — both longs, 0
+    for documents shorter than ``n`` tokens.  Integer outputs by design:
+    the ratio is the caller's one division, and the DuckDB oracle
+    compares exact counts instead of rounded doubles.
+
+    Scale shape: the exploded (id, gram) frame is bounded by corpus
+    token count; both aggregates partial-combine map-side (a document's
+    grams stay inside its scan partition, and heavy boilerplate grams
+    collapse to one (gram, count) row per map task before the
+    exchange).  The gram-frequency join emits COUNTS only — a gram
+    shared by B docs costs B joined rows, never the B² pairs a
+    pair-emitting design would; this is why the operator scales where
+    naive all-pairs substring comparison cannot.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(token_ngrams(col, n)).alias("_gram")
+    )
+    per_doc = grams.groupBy(id_col, "_gram").agg(F.count(F.lit(1)).alias("_occ"))
+    gram_docs = per_doc.groupBy("_gram").agg(F.count(F.lit(1)).alias("_n_docs"))
+    stats = (
+        per_doc.join(gram_docs, "_gram")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_occ").alias("_n_grams"),
+            F.sum(F.when(F.col("_n_docs") >= 2, F.col("_occ")).otherwise(0)).alias(
+                "_dup_grams"
+            ),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("_dup_grams", F.lit(0)).cast("long").alias("dup_grams"),
+        )
+    )
+
+
 # --------------------------------------------------------------- PII redact
 
 # Patterns restricted to syntax with identical semantics in Java regex

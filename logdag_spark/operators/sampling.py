@@ -200,3 +200,55 @@ def mix_order(
         )
         .drop("_w")
     )
+
+
+SALT_CAP = 0xC0FFEE % ((1 << 31) - 1)
+
+
+def cap_per_group(
+    df: DataFrame,
+    cap: int,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    salt: int = SALT_CAP,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Per-group document quota (CommonCrawl-style "at most ``cap`` docs
+    per domain/source"): rows get a deterministic pseudo-random priority
+    (the same multiplicative bucket as the samplers, so the quota keeps
+    a UNIFORM subset, not the first ``cap`` ids), are ranked within
+    their group by ``(bucket, id)``, and marked ``keep = rank <= cap``.
+
+    The rank comes from :func:`~logdag_spark.operators.scan.
+    partitioned_rank`, NOT a per-group window — a corpus has O(10)
+    sources, and ``row_number() OVER (PARTITION BY source)`` would
+    funnel each source's 10^11 rows through one task.  Shards slice the
+    bucket domain [0, P) into ``n_shards`` order-aligned pieces, so
+    window parallelism scales with ``n_shards``.
+
+    Output: input columns + ``cap_rank`` (long, 1-based) + ``keep``
+    (boolean) — callers filter on ``keep``; losers stay visible for
+    lineage/audit.  Exactly ``row_number() OVER (PARTITION BY part_col
+    ORDER BY bucket, id)`` — SQL-replicable for integral ids (the DuckDB
+    oracle spells the bucket algebra verbatim; string ids take the
+    xxhash64 path, deterministic but engine-specific).
+    """
+    from logdag_spark.operators.scan import partitioned_rank
+
+    reserved = {"_cap_bucket", "cap_rank", "keep"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"columns {sorted(reserved)} collide with cap_per_group internals"
+        )
+    shard_width = P // int(n_shards) + 1
+    ranked = partitioned_rank(
+        df.withColumn("_cap_bucket", bucket_for(df, id_col, salt)),
+        "_cap_bucket",
+        id_col,
+        part_cols=(part_col,),
+        shard_width=shard_width,
+        out_col="cap_rank",
+    )
+    return ranked.withColumn("keep", F.col("cap_rank") <= int(cap)).drop(
+        "_cap_bucket"
+    )

@@ -86,6 +86,69 @@ def partitioned_prefix_sum(
     )
 
 
+def partitioned_rank(
+    df: DataFrame,
+    sort_col: str,
+    id_col: str,
+    part_cols: tuple[str, ...] = (),
+    shard_width: int = 1 << 24,
+    out_col: str = "rank",
+) -> DataFrame:
+    """Exact 1-based rank by ``(sort_col ASC, id_col ASC)`` within each
+    ``part_cols`` group — ``row_number()`` semantics — without a
+    group-wide window.
+
+    The classic quota/top-k trap is ``row_number() OVER (PARTITION BY
+    source ORDER BY ...)``: with a handful of sources every group's
+    10^11+ rows funnel through ONE window task.  Same two-pass shape as
+    :func:`partitioned_prefix_sum`, but counting rows instead of summing
+    values: shards are ORDER-ALIGNED slices of the sort domain
+    (``floor(sort / shard_width)`` — ties in ``sort_col`` always land in
+    the same shard, so the ``id_col`` tie-break stays local), each shard
+    ranks its own rows in parallel, and per-shard COUNTS — one row per
+    shard — get a tiny cumulative window and broadcast back as offsets.
+
+    ``sort_col`` must be numeric/integral and non-NULL (engines disagree
+    on NULL sort order: Spark puts NULLS FIRST ascending, most SQL
+    engines NULLS LAST — a NULL shard would silently diverge from a SQL
+    oracle); ``(sort_col, id_col)`` must be unique per group for the
+    rank to be well-defined.  Adds ``out_col`` (long).  Equal to
+    ``row_number() OVER (PARTITION BY part_cols ORDER BY sort_col,
+    id_col)`` at any parallelism.
+    """
+    reserved = {"_shard", "_offset", out_col} & set(df.columns)
+    if reserved:
+        raise ValueError(f"columns {sorted(reserved)} collide with scan internals")
+    bucket = F.floor(F.col(sort_col) / F.lit(int(shard_width))).cast("long")
+    sharded = df.withColumn("_shard", bucket)
+    w_in = Window.partitionBy(*part_cols, "_shard").orderBy(sort_col, id_col)
+    counts = sharded.groupBy(*part_cols, "_shard").agg(
+        F.count(F.lit(1)).alias("_shard_n")
+    )
+    w_sh = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    keys = [*part_cols, "_shard"]
+    offsets = counts.select(
+        *[F.col(c).alias(f"_o_{c}") for c in keys],
+        F.coalesce(F.sum("_shard_n").over(w_sh), F.lit(0)).alias("_offset"),
+    )
+    cond = None
+    for k in keys:
+        eq = sharded[k].eqNullSafe(offsets[f"_o_{k}"])
+        cond = eq if cond is None else cond & eq
+    return (
+        sharded.join(F.broadcast(offsets), cond)
+        .withColumn(
+            out_col,
+            (F.col("_offset") + F.row_number().over(w_in)).cast("long"),
+        )
+        .drop("_shard", "_offset", *[f"_o_{k}" for k in keys])
+    )
+
+
 def token_budget_filter(
     df: DataFrame,
     budget: int,

@@ -232,3 +232,58 @@ def test_semantic_dedup_ivf_finds_planted_dups(spark):
     assert hit >= 50  # recall >= ~0.83 on planted pairs
     # survivors keep NULL dup_of
     assert out.where("keep AND dup_of IS NOT NULL").count() == 0
+
+
+def test_top_fraction_by_score_integer_cap(spark):
+    from logdag_spark.operators.curation import top_fraction_by_score
+
+    # group sizes 10 and 7 -> caps ceil(10/4)=3, ceil(7/4)=2
+    rows = [(i, "a", (i * 13) % 40 + 1) for i in range(10)]
+    rows += [(100 + i, "b", (i * 7) % 20 + 1) for i in range(7)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score int")
+    out = top_fraction_by_score(df, 1, 4, "score", shard_width=4)
+    kept = out.where("keep")
+    counts = {r["source"]: r["count"] for r in kept.groupBy("source").count().collect()}
+    assert counts == {"a": 3, "b": 2}
+    # every kept score >= every dropped score within a group
+    for src in ("a", "b"):
+        kmin = kept.where(f"source = '{src}'").agg({"score": "min"}).first()[0]
+        dmax = (
+            out.where(f"NOT keep AND source = '{src}'")
+            .agg({"score": "max"})
+            .first()[0]
+        )
+        assert kmin >= dmax
+    # deterministic across repartitioning
+    a = sorted((r["doc_id"], r["score_rank"]) for r in out.collect())
+    b = sorted(
+        (r["doc_id"], r["score_rank"])
+        for r in top_fraction_by_score(
+            df.repartition(5), 1, 4, "score", shard_width=4
+        ).collect()
+    )
+    assert a == b
+
+
+def test_dup_gram_stats_planted_duplication(spark):
+    from logdag_spark.operators.curation import dup_gram_stats
+
+    shared = "the quick brown fox jumps"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " over the lazy dog"),        # shares grams with 2
+            (2, shared + " into the cold river"),      # shares grams with 1
+            (3, "completely unrelated text body here"),  # no overlap
+            (4, "tiny doc"),                            # < n tokens -> 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dup_grams"])
+        for r in dup_gram_stats(docs, n=4).collect()
+    }
+    # doc 1: 9 tokens -> 6 grams; the 2 grams inside "the quick brown fox
+    # jumps" also occur in doc 2
+    assert got[1] == (6, 2) and got[2] == (6, 2)
+    assert got[3] == (2, 0)
+    assert got[4] == (0, 0)

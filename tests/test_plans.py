@@ -262,3 +262,22 @@ def test_prefix_sum_offsets_join_is_broadcast(spark, sf001_dir):
         d, "v", "doc_id", part_cols=("source",), shard_width=50
     )
     assert "BroadcastHashJoin" in _plan(out)
+
+
+def test_partitioned_rank_window_partitions_on_shard(spark):
+    """cap_per_group / top_fraction rank windows must be sharded: a
+    windowspec partitioned by the group column alone funnels each
+    group's whole corpus slice through one task (same trap the packing
+    window fixed in round 3).  Both the per-row row_number window and
+    the per-shard offset window must carry the _shard key, and the
+    offset side must be a broadcast join."""
+    from logdag_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, "s") for i in range(50)], "doc_id long, source string"
+    )
+    plan = _plan(cap_per_group(df, cap=5, n_shards=8))
+    spec = plan.lower()
+    assert "windowspecdefinition(source" in spec
+    assert "_shard" in spec.split("windowspecdefinition(source", 1)[1][:80]
+    assert "broadcast" in spec  # shard offsets ride a broadcast join

@@ -109,6 +109,66 @@ def test_mix_order_respects_weights(spark):
     assert nulls == 1000
 
 
+@pytest.mark.parametrize("shard_width", [1, 7, 50, 10_000])
+def test_partitioned_rank_matches_row_number(spark, vals, shard_width):
+    from logdag_spark.operators.scan import partitioned_rank
+
+    got = partitioned_rank(
+        vals, "v", "id", part_cols=("src",), shard_width=shard_width
+    )
+    w = Window.partitionBy("src").orderBy("v", "id")
+    want = vals.withColumn("want", F.row_number().over(w).cast("long"))
+    joined = want.join(got, ["id", "src", "v"])
+    assert joined.count() == 200
+    assert joined.where(F.col("want") != F.col("rank")).count() == 0
+
+
+def test_partitioned_rank_parallelism_independent(spark, vals):
+    from logdag_spark.operators.scan import partitioned_rank
+
+    a = sorted(
+        (r["id"], r["rank"])
+        for r in partitioned_rank(
+            vals, "v", "id", part_cols=("src",), shard_width=5
+        ).collect()
+    )
+    b = sorted(
+        (r["id"], r["rank"])
+        for r in partitioned_rank(
+            vals.repartition(13), "v", "id", part_cols=("src",), shard_width=5
+        ).collect()
+    )
+    assert a == b
+
+
+def test_cap_per_group_quota_and_uniformity(spark):
+    from logdag_spark.operators.sampling import cap_per_group
+
+    rows = [(i, "s%d" % (i % 4)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = cap_per_group(df, cap=25, n_shards=8)
+    kept = out.where("keep").groupBy("source").count().collect()
+    assert {r["count"] for r in kept} == {25}
+    # rank is a permutation of 1..group_size within each group
+    per = out.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.min("cap_rank").alias("lo"),
+        F.max("cap_rank").alias("hi"),
+        F.countDistinct("cap_rank").alias("d"),
+    )
+    for r in per.collect():
+        assert (r["lo"], r["hi"], r["d"]) == (1, r["n"], r["n"])
+    # a quota smaller than the group keeps a pseudo-random subset, not a
+    # doc_id prefix: the kept ids should straddle the id range
+    kept_ids = [
+        r["doc_id"] for r in out.where("keep AND source = 's0'").collect()
+    ]
+    assert min(kept_ids) < 100 < max(kept_ids)
+    # groups smaller than the cap keep everything
+    tiny = cap_per_group(df.where("doc_id < 8"), cap=25)
+    assert tiny.where("NOT keep").count() == 0
+
+
 def test_prefix_sum_keeps_null_keys(spark):
     """NULL part/order keys must survive the offset join (null-safe),
     matching the single-window equivalent which groups NULLs."""
