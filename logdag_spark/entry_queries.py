@@ -3510,6 +3510,50 @@ ORDER BY t.doc_id
 """
 
 
+def q_token_quartiles(spark, sf_dir):
+    """Exact per-source token-count quartiles (scan.group_quantiles):
+    p25/p50/p75 as the value at 1-based rank ceil(n*q) by (n_tok, doc_id)
+    — lower discrete quantile, pure integer rank arithmetic, so the SQL
+    oracle reproduces boundary decisions exactly.  Rank comes from the
+    sharded two-pass partitioned_rank, never a per-source sort."""
+    from logdag_spark.operators.scan import group_quantiles
+    from logdag_spark.operators.text import token_count
+
+    d = _load(spark, sf_dir, "documents").withColumn(
+        "n_tok", token_count().cast("int")
+    )
+    return (
+        group_quantiles(
+            d, "n_tok", [(1, 4), (1, 2), (3, 4)], shard_width=16
+        )
+        .orderBy("source", "q_num", "q_den")
+    )
+
+
+SQL_TOKEN_QUARTILES = """
+WITH t AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9_'']+'),
+                         x -> x <> ''))::int AS n_tok
+  FROM documents
+), n AS (
+  SELECT source, count(*) AS n FROM t GROUP BY 1
+), r AS (
+  SELECT t.*, row_number() OVER (PARTITION BY source
+                                 ORDER BY n_tok, doc_id) AS rk
+  FROM t
+), q(q_num, q_den) AS (VALUES (1, 4), (1, 2), (3, 4)),
+tgt AS (
+  SELECT source, q_num, q_den, n,
+         ((n * q_num + q_den - 1) // q_den)::bigint AS q_rank
+  FROM n CROSS JOIN q
+)
+SELECT tgt.source AS source, q_num, q_den, n, q_rank, r.n_tok AS value
+FROM tgt JOIN r ON r.source = tgt.source AND r.rk = tgt.q_rank
+ORDER BY source, q_num, q_den
+"""
+
+
 QUERIES = {
     # §2.4 aggregations / discretize
     "tumbling_count_1m": (q_tumbling_count_1m, SQL_TUMBLING),
@@ -3602,6 +3646,7 @@ QUERIES = {
     "cap_per_source": (q_cap_per_source, SQL_CAP_PER_SOURCE),
     "top_quarter_longest": (q_top_quarter_longest, SQL_TOP_QUARTER),
     "dup_gram_stats": (q_dup_gram_stats, SQL_DUP_GRAM_STATS),
+    "token_quartiles": (q_token_quartiles, SQL_TOKEN_QUARTILES),
     "doc_fingerprint_md5": (q_doc_fingerprint_md5, SQL_DOC_FP_MD5),
     "minhash_candidates_md5": (q_minhash_candidates_md5, SQL_MINHASH_MD5),
     "simhash_near_dups_md5": (q_simhash_near_dups_md5, SQL_SIMHASH_MD5),

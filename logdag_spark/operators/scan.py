@@ -149,6 +149,93 @@ def partitioned_rank(
     )
 
 
+def group_quantiles(
+    df: DataFrame,
+    score_col: str,
+    quantiles: list[tuple[int, int]],
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    shard_width: int = 1 << 24,
+) -> DataFrame:
+    """EXACT per-group quantiles of an integral score, at scale.
+
+    The usual choices both fail at 100 TB: ``percentile``/``sort``
+    inside ``groupBy(part_col)`` funnels each group through one task
+    (and buffers the group), while ``approx_percentile`` is, well,
+    approximate — useless for reproducible curation thresholds ("cut at
+    the corpus median" must mean the same rows on every run and engine).
+
+    Rational-quantile semantics, pure integer arithmetic: for each
+    ``(q_num, q_den)`` with ``1 <= q_num <= q_den``, the group's
+    quantile is the value whose 1-based rank by ``(score ASC, id ASC)``
+    equals ``ceil(n * q_num / q_den)`` — the lower discrete quantile, no
+    interpolation, so a SQL oracle reproduces every boundary decision
+    bit-exactly (same reasoning as ``curation.top_fraction_by_score``).
+
+    Shape: one :func:`partitioned_rank` pass over the corpus (window
+    parallelism scales with the score spread / ``shard_width``, never
+    with the O(10) groups), a tiny ``groupBy().count()``, and the
+    (groups × quantiles) target-rank frame broadcast back; the corpus
+    frame is scanned once more to pick the matching rows.  ``score_col``
+    must be integral and non-NULL.
+
+    Output: ``(part_col, q_num, q_den, n, q_rank, value)`` — one row per
+    group per requested quantile.
+    """
+    for num, den in quantiles:
+        if not (1 <= num <= den):
+            raise ValueError(f"need 1 <= q_num <= q_den, got {num}/{den}")
+    ranked = partitioned_rank(
+        df.select(part_col, id_col, score_col),
+        score_col,
+        id_col,
+        part_cols=(part_col,),
+        shard_width=shard_width,
+        out_col="_qrank",
+    )
+    qs = F.array(
+        *[
+            F.struct(
+                F.lit(int(num)).alias("q_num"), F.lit(int(den)).alias("q_den")
+            )
+            for num, den in quantiles
+        ]
+    )
+    targets = (
+        df.groupBy(part_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col(part_col).alias("_q_key"),
+            "n",
+            F.explode(qs).alias("_q"),
+        )
+        .select(
+            "_q_key",
+            "n",
+            F.col("_q.q_num").alias("q_num"),
+            F.col("_q.q_den").alias("q_den"),
+            # ceil(n * q_num / q_den) in pure long arithmetic
+            ((F.col("n") * F.col("_q.q_num") + F.col("_q.q_den") - 1)
+             / F.col("_q.q_den")).cast("long").alias("q_rank"),
+        )
+    )
+    return (
+        ranked.join(
+            F.broadcast(targets),
+            ranked[part_col].eqNullSafe(targets["_q_key"])
+            & (ranked["_qrank"] == targets["q_rank"]),
+        )
+        .select(
+            part_col,
+            "q_num",
+            "q_den",
+            "n",
+            "q_rank",
+            F.col(score_col).alias("value"),
+        )
+    )
+
+
 def token_budget_filter(
     df: DataFrame,
     budget: int,

@@ -179,3 +179,36 @@ def test_prefix_sum_keeps_null_keys(spark):
     got = {r["id"]: r["prefix_sum"] for r in out.where(F.col("src") == "a").collect()}
     # NULL id sorts first within its shard group; ids 1,2 follow in order
     assert got[1] >= 0 and got[2] == got[1] + 5
+
+
+@pytest.mark.parametrize("shard_width", [1, 5, 10_000])
+def test_group_quantiles_matches_sorted_reference(spark, vals, shard_width):
+    from logdag_spark.operators.scan import group_quantiles
+
+    qs = [(1, 4), (1, 2), (3, 4), (1, 1)]
+    got = {
+        (r["src"], r["q_num"], r["q_den"]): (r["n"], r["q_rank"], r["value"])
+        for r in group_quantiles(
+            vals, "v", qs, part_col="src", id_col="id", shard_width=shard_width
+        ).collect()
+    }
+    rows = vals.collect()
+    srcs = {r["src"] for r in rows}
+    assert len(got) == len(srcs) * len(qs)
+    for src in srcs:
+        ordered = sorted(
+            (r["v"] for r in rows if r["src"] == src),
+        )
+        n = len(ordered)
+        for num, den in qs:
+            rank = -(-n * num // den)  # ceil
+            assert got[(src, num, den)] == (n, rank, ordered[rank - 1])
+
+
+def test_group_quantiles_rejects_bad_fraction(spark, vals):
+    from logdag_spark.operators.scan import group_quantiles
+
+    with pytest.raises(ValueError):
+        group_quantiles(vals, "v", [(0, 4)], part_col="src", id_col="id")
+    with pytest.raises(ValueError):
+        group_quantiles(vals, "v", [(5, 4)], part_col="src", id_col="id")
