@@ -253,6 +253,40 @@ FROM events
 """
 
 
+def q_window_rsd(spark, sf_dir):
+    """W3 root_square_diff (reference evpost.py:36-39) — the REAL
+    operator column expression, with events renamed to the series
+    schema it expects (order column ts := event_id so lag order is
+    deterministic and the SQL oracle reproduces it exactly)."""
+    from logdag_spark.operators.windows import root_square_diff
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("event_id").alias("ts"),
+        F.col("user_id").alias("host"),
+        F.col("event_type").alias("key"),
+        F.col("value").alias("val"),
+    )
+    return ev.select(
+        "event_id",
+        F.round(root_square_diff(keys=("host", "key")), 6).alias("rsd"),
+    )
+
+
+SQL_WINDOW_RSD = """
+WITH d AS (
+  SELECT event_id, value,
+         value - lag(value) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY event_id) AS dv
+  FROM events
+)
+SELECT event_id,
+       round(coalesce(CASE WHEN value > 0 THEN sqrt(dv * dv / value)
+                           ELSE 0.0 END, 0.0), 6) AS rsd
+FROM d
+"""
+
+
 def q_window_znorm(spark, sf_dir):
     ev = _load(spark, sf_dir, "events")
     w = Window.partitionBy("event_type")
@@ -2206,6 +2240,47 @@ FROM kept GROUP BY 1, 2, 3
 """
 
 
+def q_direction_diff_daily(spark, sf_dir):
+    """U4 direction_diff (reference comparison.py:164-204): common
+    pairs whose orientation/directedness differs across two runs —
+    here two deterministic 'runs' derived from the same Fisher-z daily
+    edges (run 1 orients k1→k2, directed iff r > 0; run 2 uses a
+    stricter |r| >= 0.5 directedness rule and flips orientation on
+    even-numbered days), so the oracle can replay both runs in SQL."""
+    from logdag_spark.operators.graphops import direction_diff
+
+    base = _daily_edges(spark, sf_dir)
+    e1 = base.select(
+        "unit",
+        F.col("k1").alias("src_id"),
+        F.col("k2").alias("dst_id"),
+        (F.col("r") > 0).alias("directed"),
+    )
+    even = F.substring("unit", 8, 1).cast("int") % 2 == 0
+    e2 = base.select(
+        "unit",
+        F.when(even, F.col("k2")).otherwise(F.col("k1")).alias("src_id"),
+        F.when(even, F.col("k1")).otherwise(F.col("k2")).alias("dst_id"),
+        (F.abs("r") >= 0.5).alias("directed"),
+    )
+    return direction_diff(e1, e2).orderBy("unit", "pair_key")
+
+
+_SQL_DDIFF_FLIP = "CASE WHEN substr(unit, 8, 1)::int % 2 = 0 THEN k2 ELSE k1 END"
+
+SQL_DIRECTION_DIFF = _SQL_DAILY_EDGES + f"""
+SELECT unit,
+       k1 || '->' || k2 AS pair_key,
+       (r > 0) AS directed_1, k1 AS src_1,
+       (abs(r) >= 0.5) AS directed_2,
+       {_SQL_DDIFF_FLIP} AS src_2
+FROM kept
+WHERE (r > 0) <> (abs(r) >= 0.5)
+   OR ((r > 0) AND (abs(r) >= 0.5) AND k1 <> {_SQL_DDIFF_FLIP})
+ORDER BY unit, pair_key
+"""
+
+
 def q_match_all_daily(spark, sf_dir):
     """J8 match rule "all" with member expansion (match_edge.py:30-48)."""
     from logdag_spark.operators.graphops import match_trouble_edges
@@ -3565,6 +3640,7 @@ QUERIES = {
     "series_stats": (q_series_stats, SQL_SERIES_STATS),
     # §2.5 window transforms
     "window_diff_abs": (q_window_diff_abs, SQL_DIFF_ABS),
+    "window_rsd": (q_window_rsd, SQL_WINDOW_RSD),
     "window_znorm": (q_window_znorm, SQL_ZNORM),
     "moving_avg_5": (q_moving_avg_5, SQL_MAVG),
     "running_total": (q_running_total, SQL_RUNNING),
@@ -3582,6 +3658,7 @@ QUERIES = {
     "topk_customers": (q_topk_customers, SQL_TOPK),
     "customers_without_orders": (q_customers_without_orders, SQL_NO_ORDERS),
     "setop_parts": (q_setop_parts, SQL_SETOP),
+    "direction_diff_daily": (q_direction_diff_daily, SQL_DIRECTION_DIFF),
     # text / dedup / similarity
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "lang_quality": (q_lang_quality, SQL_LANG_QUALITY),
