@@ -2178,6 +2178,70 @@ FROM tf t JOIN dfp d ON t.pair_key = d.pair_key CROSS JOIN n_units n
 """
 
 
+def q_edge_search_daily(spark, sf_dir):
+    """P7 edge search conditions (reference showdag.py:664-683): the
+    real f_edge_search over node-enriched daily edges — gid equality on
+    either endpoint AND host-substring on either endpoint (evdim hosts
+    are the event type's first letter, so substring 'e' = types
+    starting with e — the host filter discriminates among the gid
+    hits)."""
+    from logdag_spark.operators.graphops import edges_with_nodes, f_edge_search
+
+    edges, evdim = _daily_graph(spark, sf_dir)
+    e = edges_with_nodes(edges, evdim)
+    hit = f_edge_search(e, gid="signup", host_substr="e")
+    return hit.select(
+        "unit",
+        F.col("src_key").alias("k1"),
+        F.col("dst_key").alias("k2"),
+        F.round("weight", 6).alias("weight"),
+    ).orderBy("unit", "k1", "k2")
+
+
+SQL_EDGE_SEARCH = _SQL_DAILY_EDGES + """
+SELECT unit, k1, k2, round(r, 6) AS weight
+FROM kept
+WHERE (k1 = 'signup' OR k2 = 'signup')
+  AND (substr(k1, 1, 1) LIKE '%e%' OR substr(k2, 1, 1) LIKE '%e%')
+ORDER BY unit, k1, k2
+"""
+
+
+def q_dag_anomaly_daily(spark, sf_dir):
+    """G11 anomaly_score (reference edge_search.py:605-620): per-unit
+    sum of TF-IDF edge scores — days whose DAG carries many globally
+    rare edges score high."""
+    from logdag_spark.operators.graphops import anomaly_score, edge_tfidf
+
+    edges, evdim = _daily_graph(spark, sf_dir)
+    t = edge_tfidf(edges, evdim)
+    return (
+        anomaly_score(t)
+        .select("unit", F.round("score", 6).alias("score"))
+        .orderBy("unit")
+    )
+
+
+SQL_DAG_ANOMALY = _SQL_DAILY_GRAPH + """
+, keyed AS (
+  SELECT unit, least(k1, k2) || '->' || greatest(k1, k2) AS pair_key
+  FROM kept
+),
+n_units AS (SELECT count(DISTINCT unit) AS n FROM keyed),
+per_unit AS (SELECT unit, count(*) AS unit_edges FROM keyed GROUP BY 1),
+tf AS (
+  SELECT k.unit, k.pair_key, count(*)::double / any_value(p.unit_edges) AS tf
+  FROM keyed k JOIN per_unit p ON k.unit = p.unit
+  GROUP BY k.unit, k.pair_key
+),
+dfp AS (SELECT pair_key, count(DISTINCT unit) AS df FROM keyed GROUP BY 1)
+SELECT t.unit,
+       round(sum(t.tf * (ln((n.n + 1)::double / (d.df + 1)) + 1)), 6) AS score
+FROM tf t JOIN dfp d ON t.pair_key = d.pair_key CROSS JOIN n_units n
+GROUP BY t.unit ORDER BY t.unit
+"""
+
+
 def q_netsize_daily(spark, sf_dir):
     """G8/A12: connected components of each daily DAG + size histogram
     (showdag.py:738-760)."""
@@ -3674,6 +3738,8 @@ QUERIES = {
     "pk_topology_pruned": (q_pk_topology_pruned, SQL_PK_TOPOLOGY),
     "pk_host_independent": (q_pk_host_independent, SQL_PK_HOST_INDEP),
     "edge_tfidf_daily": (q_edge_tfidf_daily, SQL_EDGE_TFIDF),
+    "dag_anomaly_daily": (q_dag_anomaly_daily, SQL_DAG_ANOMALY),
+    "edge_search_daily": (q_edge_search_daily, SQL_EDGE_SEARCH),
     "netsize_daily": (q_netsize_daily, SQL_NETSIZE),
     "graph_undirected_daily": (q_graph_undirected_daily, SQL_UNDIRECTED),
     "match_all_daily": (q_match_all_daily, SQL_MATCH_ALL),
