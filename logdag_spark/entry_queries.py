@@ -287,6 +287,89 @@ FROM d
 """
 
 
+def q_filter_linear_chain(spark, sf_dir):
+    """W12 remove_linear + W13 sizetest through the REAL W14
+    filter-chain harness (filter_series, reference filter_log.py:
+    171-201): the pre-binned exchange, the applyInPandas kernel, and
+    the keep-list semi-join back to raw rows all execute; with only the
+    two SQL-expressible rules active the verdict is replayable — a
+    series is DROPPED iff it passes sizetest (count >= 5, span >= 6h),
+    has count >= linear_count, and its cumulative-count curve deviates
+    from the straight line by less than linear_th (too steady to be
+    interesting).  Output: per-series surviving row counts.
+
+    Float caveat (documented, empirically clean at all test SFs): the
+    deviation statistic sums 120 squared doubles — numpy pairwise vs
+    SQL sequential summation could in principle flip a series sitting
+    within ~1e-13 of linear_th."""
+    from logdag_spark.config import PipelineConfig
+    from logdag_spark.pipeline.series_filter import filter_series
+
+    cfg = PipelineConfig(
+        filter_rules=("sizetest", "remove_linear"),
+        linear_sample_rule_bin="6h",
+    )
+    routed = (
+        _events_routed(spark, sf_dir)
+        .withColumn("area", F.lit("all"))
+        .withColumn("group", F.lit("g"))
+    )
+    out = filter_series(routed, RANGE, cfg, measures=("ev",))
+    return (
+        out.groupBy("host", "key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .orderBy("host", "key")
+    )
+
+
+SQL_FILTER_LINEAR = f"""
+WITH e AS (
+  SELECT user_id::varchar AS host, event_type AS key,
+         epoch_ms(ts) - {T0_S * 1000} AS off_ms
+  FROM events
+),
+st AS (
+  SELECT host, key, count(*)::double AS total,
+         max(off_ms) / 1000.0 - min(off_ms) / 1000.0 AS span_s
+  FROM e GROUP BY 1, 2
+),
+cand AS (
+  SELECT host, key, total FROM st
+  WHERE total >= 5 AND span_s >= 21600.0 AND total >= 10
+),
+b AS (SELECT unnest(range(0, 120)) AS bin),
+cnt AS (
+  SELECT e.host, e.key,
+         greatest(0, least(119, floor((off_ms / 1000.0) / 21600.0)::int))
+             AS bin,
+         count(*)::double AS c
+  FROM e JOIN cand USING (host, key)
+  GROUP BY 1, 2, 3
+),
+curve AS (
+  SELECT cand.host, cand.key, b.bin, cand.total, coalesce(cnt.c, 0.0) AS c
+  FROM cand CROSS JOIN b
+  LEFT JOIN cnt ON cnt.host = cand.host AND cnt.key = cand.key
+               AND cnt.bin = b.bin
+),
+dev AS (
+  SELECT host, key, total,
+         sum(c) OVER (PARTITION BY host, key ORDER BY bin) AS cum,
+         bin * (total / 120.0) AS lin
+  FROM curve
+),
+stat AS (
+  SELECT host, key,
+         sum((cum - lin) * (cum - lin)) / (120.0 * any_value(total)) AS v
+  FROM dev GROUP BY 1, 2
+),
+dropped AS (SELECT host, key FROM stat WHERE v < 0.5)
+SELECT e.host AS host, e.key AS key, count(*)::bigint AS n_rows
+FROM e ANTI JOIN dropped USING (host, key)
+GROUP BY 1, 2 ORDER BY host, key
+"""
+
+
 def q_window_znorm(spark, sf_dir):
     ev = _load(spark, sf_dir, "events")
     w = Window.partitionBy("event_type")
@@ -3705,6 +3788,7 @@ QUERIES = {
     # §2.5 window transforms
     "window_diff_abs": (q_window_diff_abs, SQL_DIFF_ABS),
     "window_rsd": (q_window_rsd, SQL_WINDOW_RSD),
+    "filter_linear_chain": (q_filter_linear_chain, SQL_FILTER_LINEAR),
     "window_znorm": (q_window_znorm, SQL_ZNORM),
     "moving_avg_5": (q_moving_avg_5, SQL_MAVG),
     "running_total": (q_running_total, SQL_RUNNING),
