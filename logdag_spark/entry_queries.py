@@ -2958,6 +2958,96 @@ FROM grp WHERE n_members > 1
 """
 
 
+def q_evdef_member_ops(spark, sf_dir):
+    """U5 identifier-set ops (log2event.py:55-72): ``attr_and`` /
+    ``attr_or`` over the '|'-joined member lists of merged event
+    definitions.  Each host's merged evdefs (from the J4 sync-merge) are
+    probed against that host's two alphabetically-first base
+    identifiers — the common-member count and the sorted member union
+    are exactly what the reference's trouble-matching consumes."""
+    from logdag_spark.operators.dagio import attr_and, attr_or
+    from logdag_spark.pipeline.correlate import (
+        event_dim,
+        merge_syncevents,
+        unit_matrix,
+    )
+
+    week = timedelta(days=7)
+    b = discretize(
+        _events_routed(spark, sf_dir), RANGE, week, keys=("host", "key")
+    )
+    unit_long = b.select(
+        F.lit("all").alias("unit"),
+        F.concat_ws(":", "host", "key").alias("identifier"),
+        "host",
+        "key",
+        "bin",
+        F.lit(1.0).alias("cnt"),
+    )
+    evdim = event_dim(unit_long)
+    mat = unit_matrix(unit_long, evdim)
+    _, dim2 = merge_syncevents(mat, evdim)
+    merged = dim2.where(F.col("n_members") > 1).select(
+        "host", F.col("identifier").alias("merged_identifier")
+    )
+    probes = (
+        unit_long.select("host", "identifier")
+        .distinct()
+        .groupBy("host")
+        .agg(
+            F.array_join(
+                F.slice(F.array_sort(F.collect_set("identifier")), 1, 2), "|"
+            ).alias("probe")
+        )
+    )
+    return merged.join(F.broadcast(probes), "host").select(
+        "host",
+        "merged_identifier",
+        F.size(attr_and("merged_identifier", "probe"))
+        .cast("bigint")
+        .alias("n_common"),
+        F.array_join(
+            F.array_sort(attr_or("merged_identifier", "probe")), "|"
+        ).alias("union_ids"),
+    )
+
+
+SQL_EVDEF_MEMBER_OPS = f"""
+WITH cnts AS (
+  SELECT user_id, event_type,
+         ((epoch_ms(ts) // 1000) - {T0_S}) // 604800 AS i, 1.0 AS cnt
+  FROM events
+  WHERE (epoch_ms(ts) // 1000) >= {T0_S} AND (epoch_ms(ts) // 1000) < {T0_S + TERM_S}
+  GROUP BY 1, 2, 3
+),
+ser AS (
+  SELECT user_id, user_id::varchar || ':' || event_type AS ident,
+         string_agg(i || ':' || cnt, ',' ORDER BY i) AS fp
+  FROM cnts GROUP BY 1, 2
+),
+grp AS (
+  SELECT user_id, fp,
+         string_agg(ident, '|' ORDER BY ident) AS merged_identifier,
+         count(*) AS n_members
+  FROM ser GROUP BY 1, 2
+),
+probe AS (
+  SELECT user_id,
+         array_to_string((list_sort(list(DISTINCT ident)))[1:2], '|') AS probe
+  FROM ser GROUP BY 1
+)
+SELECT g.user_id::varchar AS host, g.merged_identifier,
+       len(list_intersect(string_split(g.merged_identifier, '|'),
+                          string_split(p.probe, '|')))::bigint AS n_common,
+       array_to_string(
+         list_sort(list_distinct(list_concat(
+           string_split(g.merged_identifier, '|'),
+           string_split(p.probe, '|')))), '|') AS union_ids
+FROM grp g JOIN probe p USING (user_id)
+WHERE g.n_members > 1
+"""
+
+
 def q_host_alias_area(spark, sf_dir):
     """J1 host-alias resolution + P1 area membership as one enrich chain
     (evgen_snmp.py:121, log2event.py:226-252): odd hosts arrive under a
@@ -3836,6 +3926,7 @@ QUERIES = {
     "gsq_edges_1h": (q_gsq_edges_1h, SQL_GSQ),
     "fill_missing_bins": (q_fill_missing_bins, SQL_FILL_MISSING),
     "sync_event_merge": (q_sync_event_merge, SQL_SYNC_MERGE),
+    "evdef_member_ops": (q_evdef_member_ops, SQL_EVDEF_MEMBER_OPS),
     "host_alias_area": (q_host_alias_area, SQL_ALIAS_AREA),
     "anonymize_roundtrip": (q_anonymize_roundtrip, SQL_ANON_ROUNDTRIP),
     "media_frame_sample": (q_media_frame_sample, SQL_FRAME_SAMPLE),
