@@ -370,6 +370,86 @@ GROUP BY 1, 2 ORDER BY host, key
 """
 
 
+def q_filter_corr_chain(spark, sf_dir):
+    """W11 remove_corr + W13 sizetest through the W14 filter-chain
+    harness (filter_log.py:180-186, period.py:119-136): a series is
+    DROPPED iff it passes sizetest and its hourly-binned count curve has
+    lagged Pearson autocorrelation >= corr_th at EITHER the 1h or the
+    24h lag (the reference's two fixed self_corr offsets).  corr_th is
+    lowered to 0.15 so the rule discriminates on the testdata (the
+    default 0.5 drops nothing — the synthetic events carry no strong
+    periodicity); the nearest value sits >= 0.002 from the threshold at
+    every test SF, far above double-precision summation noise.  Output:
+    per-series surviving row counts."""
+    from logdag_spark.config import PipelineConfig
+    from logdag_spark.pipeline.series_filter import filter_series
+
+    cfg = PipelineConfig(
+        filter_rules=("sizetest", "remove_corr"),
+        fourier_sample_rule=(("720h", "1h"),),
+        corr_th=0.15,
+    )
+    routed = (
+        _events_routed(spark, sf_dir)
+        .withColumn("area", F.lit("all"))
+        .withColumn("group", F.lit("g"))
+    )
+    out = filter_series(routed, RANGE, cfg, measures=("ev",))
+    return (
+        out.groupBy("host", "key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .orderBy("host", "key")
+    )
+
+
+SQL_FILTER_CORR = f"""
+WITH e AS (
+  SELECT user_id::varchar AS host, event_type AS key,
+         epoch_ms(ts) - {T0_S * 1000} AS off_ms
+  FROM events
+),
+st AS (
+  SELECT host, key, count(*)::double AS total,
+         max(off_ms) / 1000.0 - min(off_ms) / 1000.0 AS span_s
+  FROM e GROUP BY 1, 2
+),
+cand AS (
+  SELECT host, key FROM st WHERE total >= 5 AND span_s >= 21600.0
+),
+b AS (SELECT unnest(range(0, 720)) AS bin),
+cnt AS (
+  SELECT e.host, e.key,
+         floor((off_ms / 1000.0) / 3600.0)::int AS bin,
+         count(*)::double AS c
+  FROM e JOIN cand USING (host, key)
+  WHERE off_ms >= 0 AND off_ms < {TERM_S * 1000}
+  GROUP BY 1, 2, 3
+),
+curve AS (
+  SELECT cand.host, cand.key, b.bin, coalesce(cnt.c, 0.0) AS c
+  FROM cand CROSS JOIN b
+  LEFT JOIN cnt ON cnt.host = cand.host AND cnt.key = cand.key
+               AND cnt.bin = b.bin
+),
+lagd AS (
+  SELECT host, key, bin, c,
+         lead(c, 1) OVER (PARTITION BY host, key ORDER BY bin) AS c1,
+         lead(c, 24) OVER (PARTITION BY host, key ORDER BY bin) AS c24
+  FROM curve
+),
+ac AS (
+  SELECT host, key,
+         coalesce(corr(c, c1), 0.0) AS r1,
+         coalesce(corr(c, c24), 0.0) AS r24
+  FROM lagd GROUP BY 1, 2
+),
+dropped AS (SELECT host, key FROM ac WHERE greatest(r1, r24) >= 0.15)
+SELECT e.host AS host, e.key AS key, count(*)::bigint AS n_rows
+FROM e ANTI JOIN dropped USING (host, key)
+GROUP BY 1, 2 ORDER BY host, key
+"""
+
+
 def q_window_znorm(spark, sf_dir):
     ev = _load(spark, sf_dir, "events")
     w = Window.partitionBy("event_type")
@@ -3879,6 +3959,7 @@ QUERIES = {
     "window_diff_abs": (q_window_diff_abs, SQL_DIFF_ABS),
     "window_rsd": (q_window_rsd, SQL_WINDOW_RSD),
     "filter_linear_chain": (q_filter_linear_chain, SQL_FILTER_LINEAR),
+    "filter_corr_chain": (q_filter_corr_chain, SQL_FILTER_CORR),
     "window_znorm": (q_window_znorm, SQL_ZNORM),
     "moving_avg_5": (q_moving_avg_5, SQL_MAVG),
     "running_total": (q_running_total, SQL_RUNNING),
