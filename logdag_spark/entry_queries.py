@@ -2320,7 +2320,9 @@ def q_edge_tfidf_daily(spark, sf_dir):
     )
 
 
-SQL_EDGE_TFIDF = _SQL_DAILY_GRAPH + """
+# shared tf/idf algebra for the A11/G11 oracles — ONE copy so a smoothing
+# or pair_key fix can never leave the other entry stale
+_SQL_TFIDF_CTES = _SQL_DAILY_GRAPH + """
 , keyed AS (
   SELECT unit, least(k1, k2) || '->' || greatest(k1, k2) AS pair_key
   FROM kept
@@ -2333,7 +2335,10 @@ tf AS (
   FROM keyed k JOIN per_unit p ON k.unit = p.unit
   GROUP BY 1, 2
 ),
-dfp AS (SELECT pair_key, count(DISTINCT unit) AS df FROM keyed GROUP BY 1)
+dfp AS (SELECT pair_key, count(DISTINCT unit) AS df FROM keyed GROUP BY 1)"""
+
+
+SQL_EDGE_TFIDF = _SQL_TFIDF_CTES + """
 SELECT t.unit, t.pair_key, t.cnt::bigint AS cnt, round(t.tf, 6) AS tf,
        d.df::bigint AS df,
        round(t.tf * (ln((n.n + 1)::double / (d.df + 1)) + 1), 6) AS tfidf
@@ -2385,19 +2390,7 @@ def q_dag_anomaly_daily(spark, sf_dir):
     )
 
 
-SQL_DAG_ANOMALY = _SQL_DAILY_GRAPH + """
-, keyed AS (
-  SELECT unit, least(k1, k2) || '->' || greatest(k1, k2) AS pair_key
-  FROM kept
-),
-n_units AS (SELECT count(DISTINCT unit) AS n FROM keyed),
-per_unit AS (SELECT unit, count(*) AS unit_edges FROM keyed GROUP BY 1),
-tf AS (
-  SELECT k.unit, k.pair_key, count(*)::double / any_value(p.unit_edges) AS tf
-  FROM keyed k JOIN per_unit p ON k.unit = p.unit
-  GROUP BY k.unit, k.pair_key
-),
-dfp AS (SELECT pair_key, count(DISTINCT unit) AS df FROM keyed GROUP BY 1)
+SQL_DAG_ANOMALY = _SQL_TFIDF_CTES + """
 SELECT t.unit,
        round(sum(t.tf * (ln((n.n + 1)::double / (d.df + 1)) + 1)), 6) AS score
 FROM tf t JOIN dfp d ON t.pair_key = d.pair_key CROSS JOIN n_units n

@@ -237,8 +237,13 @@ def top_fraction_by_score(
     DESC, id)`` computed scale-safely via :func:`~logdag_spark.
     operators.scan.partitioned_rank` on the negated score (shards slice
     the score domain, so parallelism scales with score spread /
-    ``shard_width``, not with the handful of groups).  Group sizes are
-    a tiny aggregate broadcast back as caps.
+    ``shard_width``, not with the handful of groups).  Group sizes ride
+    the rank's own tiny per-shard counts frame (``total_col``) — no
+    second pass over the corpus — and the cap ``ceil(n * num / den)``
+    is integer ``div`` arithmetic end to end: a double quotient could
+    round across an integer boundary once ``n * num`` leaves the 2^53
+    exact range, flipping exactly the boundary row this design exists
+    to pin down.
 
     Output: input columns + ``score_rank`` (long, 1-based, best = 1) +
     ``keep`` (boolean).  ``score_col`` must be integral and non-NULL.
@@ -247,7 +252,7 @@ def top_fraction_by_score(
 
     if num < 0 or den <= 0:
         raise ValueError(f"need num >= 0 and den > 0, got {num}/{den}")
-    reserved = {"_neg_score", "_cap", "score_rank", "keep"} & set(df.columns)
+    reserved = {"_neg_score", "_cap_n", "score_rank", "keep"} & set(df.columns)
     if reserved:
         raise ValueError(
             f"columns {sorted(reserved)} collide with top_fraction internals"
@@ -259,20 +264,12 @@ def top_fraction_by_score(
         part_cols=(part_col,),
         shard_width=shard_width,
         out_col="score_rank",
+        total_col="_cap_n",
     )
-    caps = df.groupBy(part_col).agg(
-        # ceil(n * num / den) in pure long arithmetic
-        ((F.count(F.lit(1)) * num + (den - 1)) / den)
-        .cast("long")
-        .alias("_cap")
-    )
-    caps = caps.select(F.col(part_col).alias("_cap_key"), "_cap")
-    return (
-        ranked.join(
-            F.broadcast(caps), ranked[part_col].eqNullSafe(caps["_cap_key"])
-        )
-        .withColumn("keep", F.col("score_rank") <= F.col("_cap"))
-        .drop("_neg_score", "_cap", "_cap_key")
+    # keep iff rank <= ceil(n * num / den), in pure long arithmetic
+    cap = F.expr(f"(_cap_n * {int(num)} + {int(den) - 1}) div {int(den)}")
+    return ranked.withColumn("keep", F.col("score_rank") <= cap).drop(
+        "_neg_score", "_cap_n"
     )
 
 

@@ -202,7 +202,7 @@ def mix_order(
     )
 
 
-SALT_CAP = 0xC0FFEE % ((1 << 31) - 1)
+SALT_CAP = 0xC0FFEE
 
 
 def cap_per_group(

@@ -28,6 +28,57 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _check_reserved(df: DataFrame, out_cols: set[str]) -> None:
+    """Raise on input columns that collide with scan internals (including
+    the ``_o_``-prefixed offset-key aliases, which the final drop would
+    otherwise silently remove from the user's frame)."""
+    reserved = ({"_shard", "_offset", "_shard_agg"} | out_cols) & set(df.columns)
+    reserved |= {c for c in df.columns if c.startswith("_o_")}
+    if reserved:
+        raise ValueError(f"columns {sorted(reserved)} collide with scan internals")
+
+
+def _join_shard_offsets(
+    sharded: DataFrame,
+    part_cols: tuple[str, ...],
+    per_shard_agg: F.Column,
+    total_col: str | None = None,
+) -> tuple[DataFrame, list[str]]:
+    """Shared pass-2/3 of the two-pass scan: aggregate one row per
+    ``(part_cols, _shard)`` via ``per_shard_agg``, give the shard totals
+    a tiny exclusive cumulative window, and broadcast-join them back as
+    ``_offset`` (null-safe on every key, so NULL groups/shards survive
+    like the single-window equivalent would).  When ``total_col`` is
+    set, the per-GROUP total — a full-partition sum over the same tiny
+    frame, zero extra corpus scans — rides along under that name.
+    Returns (joined frame, helper columns for the caller to drop).
+    """
+    totals = sharded.groupBy(*part_cols, "_shard").agg(
+        per_shard_agg.alias("_shard_agg")
+    )
+    w_sh = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    keys = [*part_cols, "_shard"]
+    extra = []
+    if total_col is not None:
+        w_all = Window.partitionBy(*part_cols)
+        extra = [F.sum("_shard_agg").over(w_all).alias(total_col)]
+    offsets = totals.select(
+        *[F.col(c).alias(f"_o_{c}") for c in keys],
+        F.coalesce(F.sum("_shard_agg").over(w_sh), F.lit(0)).alias("_offset"),
+        *extra,
+    )
+    cond = None
+    for k in keys:
+        eq = sharded[k].eqNullSafe(offsets[f"_o_{k}"])
+        cond = eq if cond is None else cond & eq
+    joined = sharded.join(F.broadcast(offsets), cond)
+    return joined, ["_shard", "_offset", *[f"_o_{k}" for k in keys]]
+
+
 def partitioned_prefix_sum(
     df: DataFrame,
     val_col: str,
@@ -50,9 +101,7 @@ def partitioned_prefix_sum(
     equivalent, which groups NULLs together — a plain inner equi-join
     would silently DROP them.
     """
-    reserved = {"_shard", "_offset", out_col} & set(df.columns)
-    if reserved:
-        raise ValueError(f"columns {sorted(reserved)} collide with scan internals")
+    _check_reserved(df, {out_col})
     bucket = F.floor(F.col(order_col) / F.lit(int(shard_width))).cast("long")
     sharded = df.withColumn("_shard", bucket)
     bound = 0 if inclusive else -1
@@ -62,28 +111,12 @@ def partitioned_prefix_sum(
         .rowsBetween(Window.unboundedPreceding, bound)
     )
     within = F.coalesce(F.sum(F.col(val_col).cast("long")).over(w_in), F.lit(0))
-    totals = sharded.groupBy(*part_cols, "_shard").agg(
-        F.sum(F.col(val_col).cast("long")).alias("_shard_total")
+    joined, helper = _join_shard_offsets(
+        sharded, part_cols, F.sum(F.col(val_col).cast("long"))
     )
-    w_sh = (
-        Window.partitionBy(*part_cols)
-        .orderBy("_shard")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    keys = [*part_cols, "_shard"]
-    offsets = totals.select(
-        *[F.col(c).alias(f"_o_{c}") for c in keys],
-        F.coalesce(F.sum("_shard_total").over(w_sh), F.lit(0)).alias("_offset"),
-    )
-    cond = None
-    for k in keys:
-        eq = sharded[k].eqNullSafe(offsets[f"_o_{k}"])
-        cond = eq if cond is None else cond & eq
-    return (
-        sharded.join(F.broadcast(offsets), cond)
-        .withColumn(out_col, (F.col("_offset") + within).cast("long"))
-        .drop("_shard", "_offset", *[f"_o_{k}" for k in keys])
-    )
+    return joined.withColumn(
+        out_col, (F.col("_offset") + within).cast("long")
+    ).drop(*helper)
 
 
 def partitioned_rank(
@@ -93,6 +126,7 @@ def partitioned_rank(
     part_cols: tuple[str, ...] = (),
     shard_width: int = 1 << 24,
     out_col: str = "rank",
+    total_col: str | None = None,
 ) -> DataFrame:
     """Exact 1-based rank by ``(sort_col ASC, id_col ASC)`` within each
     ``part_cols`` group — ``row_number()`` semantics — without a
@@ -108,6 +142,11 @@ def partitioned_rank(
     ranks its own rows in parallel, and per-shard COUNTS — one row per
     shard — get a tiny cumulative window and broadcast back as offsets.
 
+    When ``total_col`` is given, each row also carries its group's TOTAL
+    row count under that name — derived from the same tiny per-shard
+    counts frame, so quota/quantile consumers don't need a second full
+    pass over the corpus to learn group sizes.
+
     ``sort_col`` must be numeric/integral and non-NULL (engines disagree
     on NULL sort order: Spark puts NULLS FIRST ascending, most SQL
     engines NULLS LAST — a NULL shard would silently diverge from a SQL
@@ -116,37 +155,16 @@ def partitioned_rank(
     ``row_number() OVER (PARTITION BY part_cols ORDER BY sort_col,
     id_col)`` at any parallelism.
     """
-    reserved = {"_shard", "_offset", out_col} & set(df.columns)
-    if reserved:
-        raise ValueError(f"columns {sorted(reserved)} collide with scan internals")
+    _check_reserved(df, {out_col} | ({total_col} if total_col else set()))
     bucket = F.floor(F.col(sort_col) / F.lit(int(shard_width))).cast("long")
     sharded = df.withColumn("_shard", bucket)
     w_in = Window.partitionBy(*part_cols, "_shard").orderBy(sort_col, id_col)
-    counts = sharded.groupBy(*part_cols, "_shard").agg(
-        F.count(F.lit(1)).alias("_shard_n")
+    joined, helper = _join_shard_offsets(
+        sharded, part_cols, F.count(F.lit(1)), total_col=total_col
     )
-    w_sh = (
-        Window.partitionBy(*part_cols)
-        .orderBy("_shard")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    keys = [*part_cols, "_shard"]
-    offsets = counts.select(
-        *[F.col(c).alias(f"_o_{c}") for c in keys],
-        F.coalesce(F.sum("_shard_n").over(w_sh), F.lit(0)).alias("_offset"),
-    )
-    cond = None
-    for k in keys:
-        eq = sharded[k].eqNullSafe(offsets[f"_o_{k}"])
-        cond = eq if cond is None else cond & eq
-    return (
-        sharded.join(F.broadcast(offsets), cond)
-        .withColumn(
-            out_col,
-            (F.col("_offset") + F.row_number().over(w_in)).cast("long"),
-        )
-        .drop("_shard", "_offset", *[f"_o_{k}" for k in keys])
-    )
+    return joined.withColumn(
+        out_col, (F.col("_offset") + F.row_number().over(w_in)).cast("long")
+    ).drop(*helper)
 
 
 def group_quantiles(
@@ -171,13 +189,18 @@ def group_quantiles(
     equals ``ceil(n * q_num / q_den)`` — the lower discrete quantile, no
     interpolation, so a SQL oracle reproduces every boundary decision
     bit-exactly (same reasoning as ``curation.top_fraction_by_score``).
+    The ceil is integer ``div`` arithmetic end to end — a double
+    quotient could round across an integer boundary once ``n * q_num``
+    leaves the 2^53 exact range.
 
-    Shape: one :func:`partitioned_rank` pass over the corpus (window
+    Shape: ONE :func:`partitioned_rank` pass over the corpus (window
     parallelism scales with the score spread / ``shard_width``, never
-    with the O(10) groups), a tiny ``groupBy().count()``, and the
-    (groups × quantiles) target-rank frame broadcast back; the corpus
-    frame is scanned once more to pick the matching rows.  ``score_col``
-    must be integral and non-NULL.
+    with the O(10) groups) with the group totals riding the rank's own
+    tiny shard-counts frame; each row then explodes against the
+    |quantiles|-element target list and keeps itself iff its rank IS
+    that quantile's target rank — a narrow map-side filter, no second
+    corpus scan, no extra shuffle.  ``score_col`` must be integral and
+    non-NULL.
 
     Output: ``(part_col, q_num, q_den, n, q_rank, value)`` — one row per
     group per requested quantile.
@@ -185,6 +208,12 @@ def group_quantiles(
     for num, den in quantiles:
         if not (1 <= num <= den):
             raise ValueError(f"need 1 <= q_num <= q_den, got {num}/{den}")
+    internals = {"n", "q_num", "q_den", "q_rank", "value", "_qrank", "_q"}
+    clash = internals & {part_col, id_col, score_col}
+    if clash:
+        raise ValueError(
+            f"columns {sorted(clash)} collide with group_quantiles internals"
+        )
     ranked = partitioned_rank(
         df.select(part_col, id_col, score_col),
         score_col,
@@ -192,6 +221,7 @@ def group_quantiles(
         part_cols=(part_col,),
         shard_width=shard_width,
         out_col="_qrank",
+        total_col="n",
     )
     qs = F.array(
         *[
@@ -201,38 +231,20 @@ def group_quantiles(
             for num, den in quantiles
         ]
     )
-    targets = (
-        df.groupBy(part_col)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            F.col(part_col).alias("_q_key"),
-            "n",
-            F.explode(qs).alias("_q"),
-        )
-        .select(
-            "_q_key",
-            "n",
-            F.col("_q.q_num").alias("q_num"),
-            F.col("_q.q_den").alias("q_den"),
-            # ceil(n * q_num / q_den) in pure long arithmetic
-            ((F.col("n") * F.col("_q.q_num") + F.col("_q.q_den") - 1)
-             / F.col("_q.q_den")).cast("long").alias("q_rank"),
-        )
-    )
     return (
-        ranked.join(
-            F.broadcast(targets),
-            ranked[part_col].eqNullSafe(targets["_q_key"])
-            & (ranked["_qrank"] == targets["q_rank"]),
-        )
+        ranked.withColumn("_q", F.explode(qs))
         .select(
             part_col,
-            "q_num",
-            "q_den",
+            F.col("_q.q_num").alias("q_num"),
+            F.col("_q.q_den").alias("q_den"),
             "n",
-            "q_rank",
+            "_qrank",
             F.col(score_col).alias("value"),
         )
+        # ceil(n * q_num / q_den) in pure long arithmetic
+        .withColumn("q_rank", F.expr("(n * q_num + q_den - 1) div q_den"))
+        .where(F.col("_qrank") == F.col("q_rank"))
+        .select(part_col, "q_num", "q_den", "n", "q_rank", "value")
     )
 
 
