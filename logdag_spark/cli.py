@@ -42,7 +42,7 @@
     python -m logdag_spark pack-docs    --input DOCS_PARQUET [--capacity 512]
     python -m logdag_spark vocab        --input DOCS_PARQUET [--k 100]
     python -m logdag_spark curate-docs  --input PARQUET
-        [--method decontaminate|repetition|redact|semantic]
+        [--method decontaminate|repetition|redact|semantic|dedup-spans]
         [--benchmark EVAL_PARQUET] [--threshold 0.9] [--cluster-col label]
     python -m logdag_spark chunk-docs   --input DOCS_PARQUET [--capacity 512] [--overlap 0]
     python -m logdag_spark budget-docs  --input DOCS_PARQUET --budget N
@@ -693,10 +693,13 @@ def main(argv: list[str] | None = None) -> int:
         from logdag_spark.operators import curation
 
         method = args.method or "repetition"
-        if method not in ("decontaminate", "repetition", "redact", "semantic"):
+        if method not in (
+            "decontaminate", "repetition", "redact", "semantic", "dedup-spans",
+        ):
             ap.error(
                 "curate-docs --method must be "
-                f"decontaminate|repetition|redact|semantic, got {method!r}"
+                f"decontaminate|repetition|redact|semantic|dedup-spans, "
+                f"got {method!r}"
             )
         data = spark.read.parquet(args.input)
         if method == "decontaminate":
@@ -708,6 +711,8 @@ def main(argv: list[str] | None = None) -> int:
             out = curation.repetition_filter(data)
         elif method == "redact":
             out = curation.pii_redact(data)
+        elif method == "dedup-spans":
+            out = curation.remove_dup_spans(data, n=args.ngram)
         else:  # semantic — input is an embeddings parquet
             out = curation.semantic_dedup(
                 data, threshold=args.threshold, cluster_col=args.cluster_col

@@ -3895,6 +3895,57 @@ ORDER BY t.doc_id
 """
 
 
+def q_remove_dup_spans(spark, sf_dir):
+    """Substring-level duplicate removal (curation.remove_dup_spans —
+    the action half of Lee et al.): token positions covered by a
+    cross-document 4-gram are dropped and the document rebuilt from the
+    survivors.  cleaned is the single-space token rebuild."""
+    from logdag_spark.operators.curation import remove_dup_spans
+
+    d = _load(spark, sf_dir, "documents")
+    return remove_dup_spans(d, n=4).orderBy("doc_id")
+
+
+SQL_REMOVE_DUP_SPANS = _SQL_DOC_TOKS + """,
+gi AS (
+  SELECT doc_id, toks,
+         unnest(CASE WHEN len(toks) >= 4 THEN range(1, len(toks) - 4 + 2)
+                ELSE []::bigint[] END) AS i
+  FROM t
+),
+g AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+3], ' ') AS gram
+  FROM gi
+),
+dup AS (
+  SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+  WHERE nd >= 2
+),
+ds AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+p AS (
+  SELECT doc_id, toks,
+         unnest(CASE WHEN len(toks) > 0 THEN range(0, len(toks))
+                ELSE []::bigint[] END) AS i
+  FROM t
+),
+kept AS (
+  SELECT p.doc_id, p.i, p.toks[(p.i + 1)::int] AS tok
+  FROM p ANTI JOIN ds
+    ON ds.doc_id = p.doc_id AND ds.pos BETWEEN p.i - 3 AND p.i
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY i) AS cleaned
+  FROM kept GROUP BY 1
+)
+SELECT t.doc_id AS doc_id, len(toks)::bigint AS n_tok,
+       (len(toks) - coalesce(n_kept, 0))::bigint AS n_removed,
+       coalesce(cleaned, '') AS cleaned
+FROM t LEFT JOIN agg USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_token_quartiles(spark, sf_dir):
     """Exact per-source token-count quartiles (scan.group_quantiles):
     p25/p50/p75 as the value at 1-based rank ceil(n*q) by (n_tok, doc_id)
@@ -4038,6 +4089,7 @@ QUERIES = {
     "cap_per_source": (q_cap_per_source, SQL_CAP_PER_SOURCE),
     "top_quarter_longest": (q_top_quarter_longest, SQL_TOP_QUARTER),
     "dup_gram_stats": (q_dup_gram_stats, SQL_DUP_GRAM_STATS),
+    "remove_dup_spans": (q_remove_dup_spans, SQL_REMOVE_DUP_SPANS),
     "token_quartiles": (q_token_quartiles, SQL_TOKEN_QUARTILES),
     "doc_fingerprint_md5": (q_doc_fingerprint_md5, SQL_DOC_FP_MD5),
     "minhash_candidates_md5": (q_minhash_candidates_md5, SQL_MINHASH_MD5),

@@ -326,6 +326,88 @@ def dup_gram_stats(
     )
 
 
+def remove_dup_spans(
+    df: DataFrame, n: int = 4, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Substring-level duplicate REMOVAL — the action half of Lee et
+    al.'s "Deduplicating Training Data Makes Language Models Better"
+    (:func:`dup_gram_stats` is the detection half): every token
+    position covered by an n-gram that occurs in >= 2 distinct
+    documents is dropped, and the document is rebuilt from the
+    surviving tokens.  A position ``p`` is covered iff some duplicated
+    gram STARTS in ``[p-n+1, p]``.
+
+    Output: ``(id_col, n_tok, n_removed, cleaned)`` — ``cleaned`` is
+    the canonical single-space token rebuild (this pipeline's token
+    normal form; original whitespace/punctuation is not preserved),
+    ``''`` for a fully-duplicated document.
+
+    Scale shape: the positional gram frame is bounded by corpus token
+    count; the dup decision travels as gram doc-COUNTS (a gram shared
+    by B docs costs B joined rows, never the B² pairs of a
+    pair-emitting design); per-doc duplicated-start lists come back
+    through one aggregate; the coverage test is a per-row higher-order
+    filter — O(tokens × dup_starts) per document, bounded by the
+    upstream document-length cap (``chunk_documents``), with no
+    additional shuffle.
+    """
+    toks = tokenize(col)
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    grams = base.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("_toks") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_toks") - n),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.array_join(F.slice("_toks", i + 1, n), " ").alias(
+                            "gram"
+                        ),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+        ).alias("_g"),
+    ).select(id_col, F.col("_g.pos").alias("_pos"), F.col("_g.gram").alias("_gram"))
+    dup = (
+        grams.groupBy("_gram")
+        .agg(F.count_distinct(id_col).alias("_nd"))
+        .where(F.col("_nd") >= 2)
+        .select("_gram")
+    )
+    starts = (
+        grams.join(dup, "_gram")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("_pos")).alias("_starts"))
+    )
+    idx = F.when(
+        F.size("_toks") > 0, F.sequence(F.lit(0), F.size("_toks") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    kept = F.filter(
+        idx,
+        lambda i: ~F.exists(
+            F.col("_starts"), lambda s: (s <= i) & (i < s + n)
+        ),
+    )
+    return (
+        base.join(starts, id_col, "left")
+        .withColumn(
+            "_starts", F.coalesce("_starts", F.array().cast("array<int>"))
+        )
+        .withColumn("_kept", kept)
+        .select(
+            id_col,
+            F.size("_toks").cast("long").alias("n_tok"),
+            (F.size("_toks") - F.size("_kept")).cast("long").alias("n_removed"),
+            F.array_join(
+                F.transform("_kept", lambda i: F.element_at("_toks", i + 1)),
+                " ",
+            ).alias("cleaned"),
+        )
+    )
+
+
 # --------------------------------------------------------------- PII redact
 
 # Patterns restricted to syntax with identical semantics in Java regex

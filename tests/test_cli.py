@@ -335,6 +335,13 @@ def test_curate_docs_commands(cli_run, spark, sf001_dir, tmp_path):
     assert cli_run("curate-docs", "--input", emb, "--method", "semantic",
                    "--threshold", "0.3") == 0
 
+    spans = str(tmp_path / "spans.parquet")
+    assert cli_run("curate-docs", "--input", docs, "--method", "dedup-spans",
+                   "--out", spans) == 0
+    got = spark.read.parquet(spans)
+    assert {"n_tok", "n_removed", "cleaned"} <= set(got.columns)
+    assert got.count() == spark.read.parquet(docs).count()
+
     with pytest.raises(SystemExit):
         cli_run("curate-docs", "--input", docs, "--method", "nope")
     with pytest.raises(SystemExit):

@@ -287,3 +287,31 @@ def test_dup_gram_stats_planted_duplication(spark):
     assert got[1] == (6, 2) and got[2] == (6, 2)
     assert got[3] == (2, 0)
     assert got[4] == (0, 0)
+
+
+def test_remove_dup_spans_planted(spark):
+    from logdag_spark.operators.curation import remove_dup_spans
+
+    shared = "the quick brown fox jumps"  # 5 tokens, 2 cross-doc 4-grams
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " over the lazy dog"),
+            (2, shared + " into the cold river"),
+            (3, "completely unrelated text body here"),
+            (4, "tiny doc"),  # < n tokens -> untouched
+            (5, shared),      # fully covered -> cleaned == ''
+            (6, shared),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tok"], r["n_removed"], r["cleaned"])
+        for r in remove_dup_spans(docs, n=4).collect()
+    }
+    # docs 1/2: dup grams start at positions 0 and 1 -> positions 0..4
+    # covered, the 4 unique tail tokens survive
+    assert got[1] == (9, 5, "over the lazy dog")
+    assert got[2] == (9, 5, "into the cold river")
+    assert got[3] == (5, 0, "completely unrelated text body here")
+    assert got[4] == (2, 0, "tiny doc")
+    assert got[5] == (5, 5, "") and got[6] == (5, 5, "")
