@@ -119,3 +119,45 @@ def test_prefix_sum_matches_numpy_cumsum(spark, rows, width):
     vals = np.array([v for _, v in ordered], dtype=np.int64)
     excl = np.concatenate([[0], np.cumsum(vals)[:-1]])
     assert got == dict(zip(ids, excl.tolist()))
+
+
+@PROP
+@given(
+    st.lists(
+        st.lists(st.integers(0, 5), min_size=0, max_size=12),
+        min_size=1, max_size=8,
+    ),
+    st.integers(2, 4),
+)
+def test_remove_dup_spans_matches_pure_python(spark, docs, n):
+    """remove_dup_spans vs an independent per-position reference: a
+    position is dropped iff some n-gram occurring in >= 2 distinct docs
+    starts within [p-n+1, p].  A 6-token alphabet forces cross-doc
+    collisions."""
+    from logdag_spark.operators.curation import remove_dup_spans
+
+    texts = [(i, " ".join(f"w{t}" for t in toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tok"], r["n_removed"], r["cleaned"])
+        for r in remove_dup_spans(df, n=n).collect()
+    }
+
+    gram_docs: dict[tuple, set] = {}
+    for i, toks in enumerate(docs):
+        for p in range(len(toks) - n + 1):
+            gram_docs.setdefault(tuple(toks[p : p + n]), set()).add(i)
+    want = {}
+    for i, toks in enumerate(docs):
+        starts = [
+            p
+            for p in range(len(toks) - n + 1)
+            if len(gram_docs[tuple(toks[p : p + n])]) >= 2
+        ]
+        kept = [
+            f"w{t}"
+            for p, t in enumerate(toks)
+            if not any(s <= p < s + n for s in starts)
+        ]
+        want[i] = (len(toks), len(toks) - len(kept), " ".join(kept))
+    assert got == want
