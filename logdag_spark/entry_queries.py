@@ -3895,6 +3895,41 @@ ORDER BY t.doc_id
 """
 
 
+def q_oov_rate(spark, sf_dir):
+    """Per-document OOV rate against the corpus' own top-20 vocabulary
+    (text.oov_stats ∘ text.vocab_topk): the cheap noise / wrong-language
+    curation gate.  Vocabulary selection is deterministic (count DESC,
+    token ASC) so both engines cut the same top-20 (k=20 < the testdata's 31-token vocabulary, so the rate discriminates)."""
+    from logdag_spark.operators.text import oov_stats, vocab_topk
+
+    d = _load(spark, sf_dir, "documents")
+    vocab = vocab_topk(d, k=20)
+    return oov_stats(d, vocab).orderBy("doc_id")
+
+
+SQL_OOV_RATE = _SQL_DOC_TOKS + """,
+tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+v AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS n FROM tok GROUP BY 1
+    ORDER BY n DESC, token LIMIT 20
+  )
+),
+per AS (
+  SELECT tok.doc_id, count(*) AS n_tok,
+         sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM tok LEFT JOIN v USING (token) GROUP BY 1
+)
+SELECT t.doc_id AS doc_id,
+       coalesce(n_tok, 0)::bigint AS n_tok,
+       coalesce(n_oov, 0)::bigint AS n_oov,
+       round(CASE WHEN coalesce(n_tok, 0) > 0
+             THEN n_oov / n_tok::double ELSE 0.0 END, 6) AS oov_frac
+FROM t LEFT JOIN per USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_remove_dup_spans(spark, sf_dir):
     """Substring-level duplicate removal (curation.remove_dup_spans —
     the action half of Lee et al.): token positions covered by a
@@ -4090,6 +4125,7 @@ QUERIES = {
     "top_quarter_longest": (q_top_quarter_longest, SQL_TOP_QUARTER),
     "dup_gram_stats": (q_dup_gram_stats, SQL_DUP_GRAM_STATS),
     "remove_dup_spans": (q_remove_dup_spans, SQL_REMOVE_DUP_SPANS),
+    "oov_rate": (q_oov_rate, SQL_OOV_RATE),
     "token_quartiles": (q_token_quartiles, SQL_TOKEN_QUARTILES),
     "doc_fingerprint_md5": (q_doc_fingerprint_md5, SQL_DOC_FP_MD5),
     "minhash_candidates_md5": (q_minhash_candidates_md5, SQL_MINHASH_MD5),

@@ -356,6 +356,58 @@ def chunk_documents(
     )
 
 
+def oov_stats(
+    df: DataFrame,
+    vocab: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a vocabulary frame
+    (one ``token`` column — typically :func:`vocab_topk`'s survivors):
+    documents whose tokens mostly fall outside the corpus head are noise
+    / wrong-language candidates, the classic cheap curation gate next to
+    :func:`quality_score`.
+
+    Output: ``(id_col, n_tok, n_oov, oov_frac)`` — counts long,
+    ``oov_frac`` rounded to 6 decimals (0.0 for empty documents).
+
+    Scale shape: one explode bounded by corpus token count, a BROADCAST
+    left join against the top-k vocabulary (bounded by k, never by the
+    corpus vocabulary), and one map-side-combining aggregate — no
+    corpus-keyed shuffle beyond the per-doc count.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokenize(col)).alias("_tok"))
+    v = vocab.select(F.col("token").alias("_tok"), F.lit(1).alias("_in_v"))
+    per = (
+        toks.join(F.broadcast(v), "_tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n_tok"),
+            F.sum(
+                F.when(F.col("_in_v").isNull(), 1).otherwise(0)
+            ).alias("_n_oov"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_n_tok", F.lit(0)).cast("long").alias("n_tok"),
+            F.coalesce("_n_oov", F.lit(0)).cast("long").alias("n_oov"),
+        )
+        .withColumn(
+            "oov_frac",
+            F.round(
+                F.when(
+                    F.col("n_tok") > 0, F.col("n_oov") / F.col("n_tok")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+
+
 def vocab_topk(df: DataFrame, k: int = 100, col: str = "text") -> DataFrame:
     """Corpus vocabulary: top-``k`` tokens by document-independent
     frequency (ties broken by token text for determinism).  One explode +

@@ -740,3 +740,28 @@ def test_stats_by_threshold_counts(spark):
     )
     got = {r["threshold"]: r["n_edges"] for r in graphops.stats_by_threshold(edges).collect()}
     assert got[0.0] == 3 and got[0.1] == 2 and got[0.5] == 2 and got[0.6] == 1 and got[0.9] == 1
+
+
+def test_oov_stats_counts_and_empty_doc(spark):
+    from logdag_spark.operators.text import oov_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),   # 6 tokens, 'sat'/'mat' OOV
+            (2, "cat cat cat"),              # fully in-vocab
+            (3, "zebra quagga"),             # fully OOV
+            (4, ""),                          # empty -> 0/0, frac 0.0
+        ],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame(
+        [("the",), ("cat",), ("on",)], "token string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tok"], r["n_oov"], r["oov_frac"])
+        for r in oov_stats(docs, vocab).collect()
+    }
+    assert got[1] == (6, 2, round(2 / 6, 6))
+    assert got[2] == (3, 0, 0.0)
+    assert got[3] == (2, 2, 1.0)
+    assert got[4] == (0, 0, 0.0)
