@@ -3895,6 +3895,31 @@ ORDER BY t.doc_id
 """
 
 
+def q_token_entropy(spark, sf_dir):
+    """Per-document unigram Shannon entropy (text.token_entropy), the
+    degenerate-text quality signal; identical ln(n) - Σc·ln(c)/n algebra
+    on both engines."""
+    from logdag_spark.operators.text import token_entropy
+
+    d = _load(spark, sf_dir, "documents")
+    return token_entropy(d).orderBy("doc_id")
+
+
+SQL_TOKEN_ENTROPY = _SQL_DOC_TOKS + """,
+tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+c AS (SELECT doc_id, token, count(*)::double AS c FROM tok GROUP BY 1, 2),
+per AS (
+  SELECT doc_id, sum(c) AS n, sum(c * ln(c)) AS s FROM c GROUP BY 1
+)
+SELECT t.doc_id AS doc_id,
+       coalesce(n, 0)::bigint AS n_tok,
+       round(CASE WHEN coalesce(n, 0) > 0 THEN ln(n) - s / n
+             ELSE 0.0 END, 6) AS entropy
+FROM t LEFT JOIN per USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_oov_rate(spark, sf_dir):
     """Per-document OOV rate against the corpus' own top-20 vocabulary
     (text.oov_stats ∘ text.vocab_topk): the cheap noise / wrong-language
@@ -4126,6 +4151,7 @@ QUERIES = {
     "dup_gram_stats": (q_dup_gram_stats, SQL_DUP_GRAM_STATS),
     "remove_dup_spans": (q_remove_dup_spans, SQL_REMOVE_DUP_SPANS),
     "oov_rate": (q_oov_rate, SQL_OOV_RATE),
+    "token_entropy": (q_token_entropy, SQL_TOKEN_ENTROPY),
     "token_quartiles": (q_token_quartiles, SQL_TOKEN_QUARTILES),
     "doc_fingerprint_md5": (q_doc_fingerprint_md5, SQL_DOC_FP_MD5),
     "minhash_candidates_md5": (q_minhash_candidates_md5, SQL_MINHASH_MD5),

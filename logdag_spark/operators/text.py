@@ -356,6 +356,49 @@ def chunk_documents(
     )
 
 
+def token_entropy(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document unigram Shannon entropy in nats — the standard
+    degenerate-text signal (near-0 entropy = one token repeated;
+    boilerplate and keyword-stuffing sit low, natural prose high).
+
+    Computed as ``ln(n) - (Σ c·ln c)/n`` over per-token counts ``c``
+    (algebraically equal to ``-Σ p·ln p`` but every term is an integer
+    count — the SQL oracle mirrors the same expression so both engines
+    sum the same magnitudes).  Output: ``(id_col, n_tok, entropy)``,
+    entropy rounded to 6 decimals, 0.0 for empty documents.
+
+    Scale shape: explode bounded by corpus token count, two map-side-
+    combining aggregates keyed by doc — no corpus-wide state.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokenize(col)).alias("_tok"))
+    per = (
+        toks.groupBy(id_col, "_tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("_n"),
+            F.sum(F.col("_c") * F.log("_c")).alias("_s"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_n", F.lit(0)).cast("long").alias("n_tok"),
+            F.round(
+                F.when(
+                    F.coalesce("_n", F.lit(0)) > 0,
+                    F.log("_n") - F.col("_s") / F.col("_n"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("entropy"),
+        )
+    )
+
+
 def oov_stats(
     df: DataFrame,
     vocab: DataFrame,

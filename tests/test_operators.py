@@ -765,3 +765,28 @@ def test_oov_stats_counts_and_empty_doc(spark):
     assert got[2] == (3, 0, 0.0)
     assert got[3] == (2, 2, 1.0)
     assert got[4] == (0, 0, 0.0)
+
+
+def test_token_entropy_known_values(spark):
+    import math
+
+    from logdag_spark.operators.text import token_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),        # single token -> 0
+            (2, "a b a b"),        # uniform over 2 -> ln 2
+            (3, "a a a b"),        # 3/4,1/4
+            (4, ""),                # empty -> 0
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tok"], r["entropy"])
+        for r in token_entropy(docs).collect()
+    }
+    assert got[1] == (4, 0.0)
+    assert got[2] == (4, round(math.log(2), 6))
+    h = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert got[3] == (4, round(h, 6))
+    assert got[4] == (0, 0.0)
