@@ -3895,6 +3895,35 @@ ORDER BY t.doc_id
 """
 
 
+def q_source_token_kl(spark, sf_dir):
+    """Per-source unigram-distribution drift vs the corpus
+    (text.source_token_kl): KL with identical integer-count algebra on
+    both engines."""
+    from logdag_spark.operators.text import source_token_kl
+
+    d = _load(spark, sf_dir, "documents")
+    return source_token_kl(d).orderBy("source")
+
+
+SQL_SOURCE_TOKEN_KL = """
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9_'']+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+c_st AS (SELECT source, token, count(*)::double AS c FROM tok GROUP BY 1, 2),
+c_t AS (SELECT token, sum(c) AS ct FROM c_st GROUP BY 1),
+n_s AS (SELECT source, sum(c) AS ns FROM c_st GROUP BY 1),
+tot AS (SELECT sum(ns) AS n FROM n_s)
+SELECT c_st.source AS source, any_value(ns)::bigint AS n_tok,
+       round(sum((c / ns) * ln((c * n) / (ns * ct))), 6) AS kl
+FROM c_st
+JOIN c_t USING (token) JOIN n_s USING (source) CROSS JOIN tot
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_token_entropy(spark, sf_dir):
     """Per-document unigram Shannon entropy (text.token_entropy), the
     degenerate-text quality signal; identical ln(n) - Σc·ln(c)/n algebra
@@ -4152,6 +4181,7 @@ QUERIES = {
     "remove_dup_spans": (q_remove_dup_spans, SQL_REMOVE_DUP_SPANS),
     "oov_rate": (q_oov_rate, SQL_OOV_RATE),
     "token_entropy": (q_token_entropy, SQL_TOKEN_ENTROPY),
+    "source_token_kl": (q_source_token_kl, SQL_SOURCE_TOKEN_KL),
     "token_quartiles": (q_token_quartiles, SQL_TOKEN_QUARTILES),
     "doc_fingerprint_md5": (q_doc_fingerprint_md5, SQL_DOC_FP_MD5),
     "minhash_candidates_md5": (q_minhash_candidates_md5, SQL_MINHASH_MD5),

@@ -356,6 +356,57 @@ def chunk_documents(
     )
 
 
+def source_token_kl(
+    df: DataFrame, col: str = "text", part_col: str = "source"
+) -> DataFrame:
+    """Per-source token-distribution drift: KL(source ‖ corpus) over the
+    unigram distributions — the standard "is this slice's language
+    shifting away from the mix?" telemetry for training-data pipelines.
+
+    ``KL = Σ_t (c_st/n_s) · ln((c_st·N)/(n_s·c_t))`` over per-source
+    token counts ``c_st`` — every factor is an integer count, the SQL
+    oracle mirrors the same expression, and ``c_t > 0`` whenever
+    ``c_st > 0`` (the corpus contains its sources), so no zero guard is
+    needed.  Output: ``(part_col, n_tok, kl)``, ``kl`` rounded to 6
+    decimals.
+
+    Scale shape: one explode bounded by corpus token count and one
+    map-side-combining (source, token) aggregate; everything after runs
+    on that |sources|×|vocab| counts frame — corpus totals derive from
+    it (never a second corpus scan), and the per-source totals frame is
+    tiny and broadcast.
+    """
+    c_st = (
+        df.select(F.explode(tokenize(col)).alias("_tok"), F.col(part_col))
+        .groupBy(part_col, "_tok")
+        .agg(F.count(F.lit(1)).alias("_c_st"))
+    )
+    c_t = c_st.groupBy("_tok").agg(F.sum("_c_st").alias("_c_t"))
+    n_s = c_st.groupBy(part_col).agg(F.sum("_c_st").alias("_n_s"))
+    total = n_s.agg(F.sum("_n_s").alias("_N"))
+    term = (
+        c_st.join(c_t, "_tok")
+        .join(F.broadcast(n_s), part_col)
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "_term",
+            (F.col("_c_st") / F.col("_n_s"))
+            * F.log(
+                (F.col("_c_st") * F.col("_N"))
+                / (F.col("_n_s") * F.col("_c_t"))
+            ),
+        )
+    )
+    return (
+        term.groupBy(part_col)
+        .agg(
+            F.first("_n_s").alias("_n"),
+            F.round(F.sum("_term"), 6).alias("kl"),
+        )
+        .select(part_col, F.col("_n").cast("long").alias("n_tok"), "kl")
+    )
+
+
 def token_entropy(
     df: DataFrame, col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

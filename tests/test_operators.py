@@ -790,3 +790,22 @@ def test_token_entropy_known_values(spark):
     h = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
     assert got[3] == (4, round(h, 6))
     assert got[4] == (0, 0.0)
+
+
+def test_source_token_kl_known_values(spark):
+    import math
+
+    from logdag_spark.operators.text import source_token_kl
+
+    # s1: 3a+1b of 4; s2: 1a+3b of 4; corpus: 4a+4b of 8 (p_c = 1/2 each)
+    docs = spark.createDataFrame(
+        [(1, "a a a b", "s1"), (2, "a b b b", "s2")],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["source"]: (r["n_tok"], r["kl"])
+        for r in source_token_kl(docs).collect()
+    }
+    kl = 0.75 * math.log(0.75 / 0.5) + 0.25 * math.log(0.25 / 0.5)
+    assert got["s1"] == (4, round(kl, 6))
+    assert got["s2"] == (4, round(kl, 6))  # symmetric construction
