@@ -4027,8 +4027,8 @@ agg AS (
          string_agg(tok, ' ' ORDER BY i) AS cleaned
   FROM kept GROUP BY 1
 )
-SELECT t.doc_id AS doc_id, len(toks)::bigint AS n_tok,
-       (len(toks) - coalesce(n_kept, 0))::bigint AS n_removed,
+SELECT t.doc_id AS doc_id, coalesce(len(toks), 0)::bigint AS n_tok,
+       (coalesce(len(toks), 0) - coalesce(n_kept, 0))::bigint AS n_removed,
        coalesce(cleaned, '') AS cleaned
 FROM t LEFT JOIN agg USING (doc_id)
 ORDER BY doc_id

@@ -351,7 +351,9 @@ def remove_dup_spans(
     upstream document-length cap (``chunk_documents``), with no
     additional shuffle.
     """
-    toks = tokenize(col)
+    # NULL text -> empty token array (size(NULL) is NULL and would leak
+    # NULL n_tok/n_removed where every sibling operator reports 0)
+    toks = F.coalesce(tokenize(col), F.array().cast("array<string>"))
     base = df.select(F.col(id_col), toks.alias("_toks"))
     grams = base.select(
         F.col(id_col),
@@ -370,6 +372,11 @@ def remove_dup_spans(
             ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
         ).alias("_g"),
     ).select(id_col, F.col("_g.pos").alias("_pos"), F.col("_g.gram").alias("_gram"))
+    # persisted: the gram frame feeds BOTH the dup aggregate and the
+    # probe side of the dup join, and Catalyst plans no ReusedExchange
+    # across DataFrame branches — unpersisted, the corpus tokenize +
+    # positional explode (the expensive stage) would run once per branch
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     dup = (
         grams.groupBy("_gram")
         .agg(F.count_distinct(id_col).alias("_nd"))

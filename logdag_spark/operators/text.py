@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 TOKEN_RE = r"[A-Za-z0-9_']+"
 _STOPWORDS = (
@@ -376,10 +377,21 @@ def source_token_kl(
     it (never a second corpus scan), and the per-source totals frame is
     tiny and broadcast.
     """
+    # counts leave the aggregate as DOUBLE: every downstream factor
+    # multiplies two count-scale numbers (c_st·N, n_s·c_t), which
+    # overflows 2^63 long arithmetic at 10^12-token corpora (ANSI mode
+    # would throw; non-ANSI would wrap negative and ln() -> NULL,
+    # silently dropping terms).  The SQL oracle computes in double from
+    # the same point.  Persisted because four branches (c_t, n_s, total,
+    # the term join) consume it — Catalyst plans no ReusedExchange across
+    # DataFrame branches, so an unpersisted frame re-runs the corpus
+    # tokenize+explode once per branch; the frame itself is compact
+    # (|sources|×|vocab| rows).
     c_st = (
         df.select(F.explode(tokenize(col)).alias("_tok"), F.col(part_col))
         .groupBy(part_col, "_tok")
-        .agg(F.count(F.lit(1)).alias("_c_st"))
+        .agg(F.count(F.lit(1)).cast("double").alias("_c_st"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     c_t = c_st.groupBy("_tok").agg(F.sum("_c_st").alias("_c_t"))
     n_s = c_st.groupBy(part_col).agg(F.sum("_c_st").alias("_n_s"))
@@ -471,7 +483,11 @@ def oov_stats(
     corpus-keyed shuffle beyond the per-doc count.
     """
     toks = df.select(F.col(id_col), F.explode(tokenize(col)).alias("_tok"))
-    v = vocab.select(F.col("token").alias("_tok"), F.lit(1).alias("_in_v"))
+    # distinct: a duplicated vocab row would fan out the 1:many join and
+    # silently inflate n_tok (cheap — the frame is broadcast anyway)
+    v = vocab.select(F.col("token").alias("_tok")).distinct().withColumn(
+        "_in_v", F.lit(1)
+    )
     per = (
         toks.join(F.broadcast(v), "_tok", "left")
         .groupBy(id_col)

@@ -301,6 +301,7 @@ def test_remove_dup_spans_planted(spark):
             (4, "tiny doc"),  # < n tokens -> untouched
             (5, shared),      # fully covered -> cleaned == ''
             (6, shared),
+            (7, None),        # NULL text -> (0, 0, ''), never NULL
         ],
         "doc_id long, text string",
     )
@@ -315,3 +316,4 @@ def test_remove_dup_spans_planted(spark):
     assert got[3] == (5, 0, "completely unrelated text body here")
     assert got[4] == (2, 0, "tiny doc")
     assert got[5] == (5, 5, "") and got[6] == (5, 5, "")
+    assert got[7] == (0, 0, "")
