@@ -3895,6 +3895,31 @@ ORDER BY t.doc_id
 """
 
 
+def q_shuffle_order(spark, sf_dir):
+    """Deterministic global training-shuffle permutation
+    (sampling.shuffle_order): md5-keyed, ranked by the two-pass
+    partitioned_rank over the hash domain — the oracle's unpartitioned
+    row_number() window is exactly the single-task shape the operator
+    avoids."""
+    from logdag_spark.operators.sampling import shuffle_order
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_order(d).orderBy("doc_id")
+
+
+SQL_SHUFFLE_ORDER = """
+WITH k AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('23130:' || doc_id::varchar), 1, 15))::bigint
+             AS shuffle_key
+  FROM documents
+)
+SELECT doc_id, shuffle_key,
+       row_number() OVER (ORDER BY shuffle_key, doc_id)::bigint AS epoch_rank
+FROM k ORDER BY doc_id
+"""
+
+
 def q_source_token_kl(spark, sf_dir):
     """Per-source unigram-distribution drift vs the corpus
     (text.source_token_kl): KL with identical integer-count algebra on
@@ -4182,6 +4207,7 @@ QUERIES = {
     "oov_rate": (q_oov_rate, SQL_OOV_RATE),
     "token_entropy": (q_token_entropy, SQL_TOKEN_ENTROPY),
     "source_token_kl": (q_source_token_kl, SQL_SOURCE_TOKEN_KL),
+    "shuffle_order": (q_shuffle_order, SQL_SHUFFLE_ORDER),
     "token_quartiles": (q_token_quartiles, SQL_TOKEN_QUARTILES),
     "doc_fingerprint_md5": (q_doc_fingerprint_md5, SQL_DOC_FP_MD5),
     "minhash_candidates_md5": (q_minhash_candidates_md5, SQL_MINHASH_MD5),

@@ -202,6 +202,57 @@ def mix_order(
     )
 
 
+SALT_SHUFFLE = 0x5A5A
+
+
+def shuffle_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: int = SALT_SHUFFLE,
+    shard_width: int = 1 << 48,
+) -> DataFrame:
+    """Deterministic global training-shuffle order: every row gets a
+    1-based ``epoch_rank`` — a pseudo-random permutation of the corpus
+    that is identical on every run, engine, and parallelism (different
+    ``salt`` = different epoch).  The missing leg of the sampling
+    surface: sample → mix → SHUFFLE → pack.
+
+    The shuffle key is the first 15 hex digits of
+    ``md5(salt || ':' || id)`` parsed as a long — md5 is
+    engine-identical, so a SQL oracle reproduces the exact permutation
+    (the xxhash64 samplers are faster but Spark-only).  The global
+    ordinal comes from :func:`~logdag_spark.operators.scan.
+    partitioned_rank` over the hash domain — NEVER ``row_number()``
+    over an unpartitioned window, which would funnel the corpus through
+    one task; shards slice [0, 16^15) into ``2^60 / shard_width``
+    order-aligned pieces (default 4096).
+
+    Output: input columns + ``shuffle_key`` (long) + ``epoch_rank``
+    (long).  Equal to ``row_number() OVER (ORDER BY shuffle_key, id)``.
+    """
+    from logdag_spark.operators.scan import partitioned_rank
+
+    reserved = {"shuffle_key", "epoch_rank"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"columns {sorted(reserved)} collide with shuffle_order internals"
+        )
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(int(salt)), F.col(id_col))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return partitioned_rank(
+        df.withColumn("shuffle_key", key),
+        "shuffle_key",
+        id_col,
+        shard_width=shard_width,
+        out_col="epoch_rank",
+    )
+
+
 SALT_CAP = 0xC0FFEE
 
 

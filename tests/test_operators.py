@@ -809,3 +809,21 @@ def test_source_token_kl_known_values(spark):
     kl = 0.75 * math.log(0.75 / 0.5) + 0.25 * math.log(0.25 / 0.5)
     assert got["s1"] == (4, round(kl, 6))
     assert got["s2"] == (4, round(kl, 6))  # symmetric construction
+
+
+def test_shuffle_order_is_a_permutation_and_salt_sensitive(spark):
+    from logdag_spark.operators.sampling import shuffle_order
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    out = shuffle_order(df).collect()
+    ranks = sorted(r["epoch_rank"] for r in out)
+    assert ranks == list(range(1, 101))  # exactly a 1..n permutation
+    by_id = {r["doc_id"]: r["epoch_rank"] for r in out}
+    assert [by_id[i] for i in range(100)] != list(range(1, 101))  # shuffled
+    other = {
+        r["doc_id"]: r["epoch_rank"]
+        for r in shuffle_order(df, salt=7).collect()
+    }
+    assert other != by_id  # different salt -> different epoch order
+    with pytest.raises(ValueError):
+        shuffle_order(df.withColumn("epoch_rank", F.lit(1)))
