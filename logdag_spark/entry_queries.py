@@ -1096,6 +1096,52 @@ WHERE i.ix::double / (s1.n + s2.n - i.ix) >= 0.2
 """
 
 
+def q_ngram_containment(spark, sf_dir):
+    """Asymmetric n-gram containment (dedup.ngram_containment_pairs) on
+    all id1<id2 pairs, kept where either direction >= 0.3 — the
+    quote/subset-duplication signal Jaccard misses."""
+    from logdag_spark.operators.dedup import ngram_containment_pairs
+
+    d = _load(spark, sf_dir, "documents")
+    ids = d.select(F.col("doc_id").alias("id1"))
+    ids2 = d.select(F.col("doc_id").alias("id2"))
+    pairs = ids.crossJoin(ids2).where(F.col("id1") < F.col("id2"))
+    c = ngram_containment_pairs(d, pairs)
+    return c.where((F.col("c1") >= 0.3) | (F.col("c2") >= 0.3)).select(
+        "id1", "id2", F.round("c1", 6).alias("c1"), F.round("c2", 6).alias("c2")
+    )
+
+
+SQL_NGRAM_CONTAINMENT = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_'']+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                               i -> array_to_string(toks[i:i+2], ' '))) AS gram
+  FROM t
+), gd AS (
+  SELECT DISTINCT doc_id, gram FROM g
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM gd GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ix
+  FROM gd a JOIN gd b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id1, i.id2,
+       round(i.ix::double / s1.n, 6) AS c1,
+       round(i.ix::double / s2.n, 6) AS c2
+FROM inter i
+JOIN sizes s1 ON s1.doc_id = i.id1
+JOIN sizes s2 ON s2.doc_id = i.id2
+WHERE i.ix::double / s1.n >= 0.3 OR i.ix::double / s2.n >= 0.3
+"""
+
+
 def q_near_dup_groups(spark, sf_dir):
     """Near-dup dedup groups: connected components over the verified
     Jaccard>=0.2 pair graph, min-doc_id canonical per group (the closure
@@ -4141,6 +4187,7 @@ QUERIES = {
     "lang_quality": (q_lang_quality, SQL_LANG_QUALITY),
     "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "ngram_containment": (q_ngram_containment, SQL_NGRAM_CONTAINMENT),
     "doc_stats": (q_doc_stats, SQL_DOC_STATS),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_near_dups_bf": (q_embedding_near_dups_bf, SQL_NEAR_DUPS),

@@ -284,6 +284,37 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame, pairs: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT for given (id1, id2) pairs:
+    ``c1 = |g1∩g2| / |g1|`` and ``c2 = |g1∩g2| / |g2|`` over distinct
+    token 3-gram sets.  The quote/subset detector Jaccard structurally
+    misses: a short document embedded whole in a much larger one has
+    c_small ≈ 1 while ``|A∩B|/|A∪B|`` stays tiny.  Same join shape as
+    :func:`ngram_jaccard_pairs` (candidate pairs only — never all
+    pairs at scale); 0.0 for an empty side."""
+    sh = df.select(F.col(id_col).alias("_id"), shingles(col).alias("_sh"))
+    j = (
+        pairs.join(sh.withColumnRenamed("_sh", "sh1"), pairs["id1"] == sh["_id"])
+        .drop("_id")
+        .join(
+            sh.withColumnRenamed("_sh", "sh2").withColumnRenamed("_id", "_id2"),
+            F.col("id2") == F.col("_id2"),
+        )
+        .drop("_id2")
+    )
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    n1 = F.size(F.array_distinct("sh1"))
+    n2 = F.size(F.array_distinct("sh2"))
+    return j.select(
+        "id1",
+        "id2",
+        F.when(n1 > 0, inter.cast("double") / n1).otherwise(0.0).alias("c1"),
+        F.when(n2 > 0, inter.cast("double") / n2).otherwise(0.0).alias("c2"),
+    )
+
+
 def all_pairs_jaccard(
     df: DataFrame, col: str = "text", id_col: str = "doc_id", th: float = 0.5
 ) -> DataFrame:
