@@ -281,3 +281,56 @@ def test_partitioned_rank_window_partitions_on_shard(spark):
     assert "windowspecdefinition(source" in spec
     assert "_shard" in spec.split("windowspecdefinition(source", 1)[1][:80]
     assert "broadcast" in spec  # shard offsets ride a broadcast join
+
+
+def test_oov_vocab_join_is_broadcast(spark, sf001_dir):
+    from logdag_spark.operators.text import oov_stats, vocab_topk
+
+    d = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    plan = _plan(oov_stats(d, vocab_topk(d, k=20)))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_remove_dup_spans_gram_frame_is_cached_not_recomputed(spark, sf001_dir):
+    """The positional gram explode (the expensive stage) feeds both the
+    dup aggregate and the probe join; Catalyst plans no ReusedExchange
+    across DataFrame branches, so the frame must come back as
+    InMemoryTableScan at every consumer."""
+    from logdag_spark.operators.curation import remove_dup_spans
+
+    d = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    out = remove_dup_spans(d, n=4)
+    try:
+        assert _plan(out).count("InMemoryTableScan") >= 2
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_source_token_kl_counts_frame_cached_and_double(spark, sf001_dir):
+    from logdag_spark.operators.text import source_token_kl
+
+    d = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    out = source_token_kl(d)
+    try:
+        # all four consumers (c_t, n_s, total, term join) read the cache
+        assert _plan(out).count("InMemoryTableScan") >= 4
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_shuffle_order_window_partitions_on_shard(spark):
+    """The epoch-rank window must be partitioned by the hash shard —
+    an unpartitioned row_number() would funnel the corpus through one
+    task."""
+    from logdag_spark.operators.sampling import shuffle_order
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    plan = _plan(shuffle_order(df))
+    plan = plan.split("== Initial Plan ==")[0]
+    import re
+
+    specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, f"no window spec found in plan:\n{plan[:2000]}"
+    for spec in specs:
+        assert "_shard" in spec, f"window not sharded: {spec}"
