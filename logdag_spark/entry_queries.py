@@ -1309,6 +1309,69 @@ FROM c ORDER BY doc_id
 """
 
 
+def q_training_assembly(spark, sf_dir):
+    """The full training-data assembly line as ONE composed query —
+    deterministic split (multiplicative hash) → global epoch shuffle
+    (md5-keyed two-pass rank) → strict-order sequence packing
+    (distributed prefix sum): a user gets the exact packed layout of
+    epoch 0's train split, identical at any parallelism, and the oracle
+    replays every stage in SQL."""
+    from logdag_spark.operators.sampling import hash_split, shuffle_order
+    from logdag_spark.operators.text import pack_sequences
+
+    d = _load(spark, sf_dir, "documents")
+    train = hash_split(d).where(F.col("split") == "train").drop("split")
+    sh = shuffle_order(train.select("doc_id", "source", "text"))
+    packed = pack_sequences(
+        sh, capacity=512, part_col="source", order_col="epoch_rank",
+        order_exact=True,
+    )
+    return packed.select(
+        "doc_id",
+        "source",
+        F.col("epoch_rank").cast("bigint").alias("epoch_rank"),
+        F.col("n_tok").cast("int").alias("n_tok"),
+        F.col("pack_bin").cast("bigint").alias("pack_bin"),
+        F.col("bin_offset").cast("bigint").alias("bin_offset"),
+    ).orderBy("doc_id")
+
+
+SQL_TRAINING_ASSEMBLY = f"""
+WITH tr AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE ((doc_id % 2147483647) * {_mult_of("split")}) % 2147483647 < {_TH_TRAIN}
+),
+k AS (
+  SELECT doc_id, source, text,
+         ('0x' || substr(md5('23130:' || doc_id::varchar), 1, 15))::bigint
+             AS sk
+  FROM tr
+),
+r AS (
+  SELECT doc_id, source, text,
+         row_number() OVER (ORDER BY sk, doc_id) AS epoch_rank
+  FROM k
+),
+tk AS (
+  SELECT doc_id, source, epoch_rank,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9_'']+'),
+                         x -> x <> '')) AS n_tok
+  FROM r
+),
+c AS (
+  SELECT doc_id, source, epoch_rank, n_tok,
+         coalesce(sum(n_tok) OVER (
+           PARTITION BY source ORDER BY epoch_rank
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+  FROM tk
+)
+SELECT doc_id, source, epoch_rank::bigint AS epoch_rank, n_tok::int AS n_tok,
+       (excl // 512)::bigint AS pack_bin,
+       (excl % 512)::bigint AS bin_offset
+FROM c ORDER BY doc_id
+"""
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary top-100: explode + one hash aggregate (map-side
     partial counts), deterministic count-then-token ranking."""
@@ -4255,6 +4318,7 @@ QUERIES = {
     "token_entropy": (q_token_entropy, SQL_TOKEN_ENTROPY),
     "source_token_kl": (q_source_token_kl, SQL_SOURCE_TOKEN_KL),
     "shuffle_order": (q_shuffle_order, SQL_SHUFFLE_ORDER),
+    "training_assembly_e2e": (q_training_assembly, SQL_TRAINING_ASSEMBLY),
     "token_quartiles": (q_token_quartiles, SQL_TOKEN_QUARTILES),
     "doc_fingerprint_md5": (q_doc_fingerprint_md5, SQL_DOC_FP_MD5),
     "minhash_candidates_md5": (q_minhash_candidates_md5, SQL_MINHASH_MD5),
