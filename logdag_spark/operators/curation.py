@@ -252,6 +252,10 @@ def top_fraction_by_score(
 
     if num < 0 or den <= 0:
         raise ValueError(f"need num >= 0 and den > 0, got {num}/{den}")
+    if num > den:
+        # a transposed call like (4, 1) would silently keep 100% of every
+        # group; fail fast like group_quantiles' 1 <= q_num <= q_den check
+        raise ValueError(f"need num <= den, got {num}/{den}")
     reserved = {"_neg_score", "_cap_n", "score_rank", "keep"} & set(df.columns)
     if reserved:
         raise ValueError(
@@ -327,7 +331,11 @@ def dup_gram_stats(
 
 
 def remove_dup_spans(
-    df: DataFrame, n: int = 4, col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    n: int = 4,
+    col: str = "text",
+    id_col: str = "doc_id",
+    storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
 ) -> DataFrame:
     """Substring-level duplicate REMOVAL — the action half of Lee et
     al.'s "Deduplicating Training Data Makes Language Models Better"
@@ -350,6 +358,13 @@ def remove_dup_spans(
     filter — O(tokens × dup_starts) per document, bounded by the
     upstream document-length cap (``chunk_documents``), with no
     additional shuffle.
+
+    Cache lifecycle: the positional gram frame (≈ corpus token count in
+    rows — a multiple of corpus size on executor storage at 100 TB) is
+    persisted at ``storage_level`` for the lifetime of the RETURNED lazy
+    frame; pass ``StorageLevel.DISK_ONLY`` to keep it out of executor
+    memory, and release it with ``spark.catalog.clearCache()`` once the
+    result is materialized — the entry shim does this between queries.
     """
     # NULL text -> empty token array (size(NULL) is NULL and would leak
     # NULL n_tok/n_removed where every sibling operator reports 0)
@@ -376,7 +391,7 @@ def remove_dup_spans(
     # probe side of the dup join, and Catalyst plans no ReusedExchange
     # across DataFrame branches — unpersisted, the corpus tokenize +
     # positional explode (the expensive stage) would run once per branch
-    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    grams = grams.persist(storage_level)
     dup = (
         grams.groupBy("_gram")
         .agg(F.count_distinct(id_col).alias("_nd"))

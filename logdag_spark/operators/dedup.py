@@ -225,7 +225,9 @@ def minhash_dedup(
     corpora contain millions of byte-identical boilerplate documents,
     and B identical docs sharing every LSH bucket emit B² candidate
     pairs — AQE skew-split fixes the shuffle skew but not the quadratic
-    emission.  One sha-style hash aggregate (`xxhash64` content groups,
+    emission.  One hash aggregate (`sha2`-256 content groups — a 64-bit
+    key like xxhash64 would expect birthday collisions at the 10^11-doc
+    target scale and silently drop distinct docs that merge groups;
     min-id representative) reduces each such cluster to ONE row before
     any signature is computed, so the banded self-join sees only
     distinct content and the planted-heavy-cluster test observes O(B)
@@ -236,7 +238,7 @@ def minhash_dedup(
     is the minimum id of its content group and that group's content
     does not near-dup any smaller-id content.
     """
-    keyed = df.select(F.col(id_col).alias("_id"), F.xxhash64(F.col(col)).alias("_ch"))
+    keyed = df.select(F.col(id_col).alias("_id"), F.sha2(F.col(col), 256).alias("_ch"))
     # persisted because it feeds BOTH the representative semi-join and the
     # final keep-set anti-join (one row per distinct content, disk-spilling;
     # recomputation would re-scan and re-aggregate the corpus — same

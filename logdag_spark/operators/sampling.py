@@ -178,14 +178,34 @@ def mix_order(
 
     ``weights(key, weight)`` is a tiny broadcast dim; rows whose key has
     no weight (or weight <= 0) get mix_key NULL — filter or default
-    upstream.  Output: input columns + mix_key (rounded to 6 decimals
-    for cross-engine exactness).
+    upstream.  A duplicated key in ``weights`` would fan the corpus join
+    out 1:many and silently duplicate output rows, so duplicates fail
+    the job at execution time instead.  Output: input columns + mix_key
+    (rounded to 6 decimals for cross-engine exactness).
     """
     reserved = {"_w", "mix_key"} & set(df.columns)
     if reserved:
         raise ValueError(f"columns {sorted(reserved)} collide with mix_order internals")
-    w = weights.select(
-        F.col("key").alias(key_col), F.col("weight").cast("double").alias("_w")
+    w = (
+        weights.groupBy(F.col("key").alias(key_col))
+        .agg(
+            F.max(F.col("weight").cast("double")).alias("_w"),
+            F.count(F.lit(1)).alias("_nw"),
+        )
+        .select(
+            key_col,
+            F.when(
+                F.col("_nw") > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit("mix_order: duplicate weight rows for key "),
+                        F.col(key_col),
+                    )
+                ),
+            )
+            .otherwise(F.col("_w"))
+            .alias("_w"),
+        )
     )
     # u in (0,1): (bucket + 1) / (P + 1) — never 0 (ln would blow up),
     # never 1; SQL-portable for integral ids via the same bucket algebra

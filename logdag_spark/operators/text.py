@@ -245,6 +245,7 @@ def unigram_logprob(
     col: str = "text",
     id_col: str = "doc_id",
     broadcast_model: bool = True,
+    storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
 ) -> DataFrame:
     """CCNet-style unigram quality score: the average negative natural
     log probability of a document's tokens under a unigram model (lower
@@ -256,22 +257,50 @@ def unigram_logprob(
     window); the model join broadcasts when ``broadcast_model`` (right
     for bounded vocabularies — set False for open web-scale vocabs and
     let AQE pick a shuffle join).  Tokens absent from a supplied model
-    are scored at 1/N (add-one-style floor) rather than -inf.
+    are scored at 1/N (add-one-style floor) rather than -inf.  A
+    supplied model with duplicated token rows would fan the scoring join
+    out 1:many (double-counting those tokens), so duplicates fail the
+    job at execution time instead.
 
     Output: (id_col, n_tok, logprob) with logprob = round(avg(-ln p), 6)
     and 0.0 for empty documents.
-    """
-    from pyspark.storagelevel import StorageLevel
 
+    Cache lifecycle: the exploded token frame (≈ corpus token count in
+    rows — a multiple of corpus size on executor storage at 100 TB) is
+    persisted at ``storage_level`` for the lifetime of the RETURNED lazy
+    frame; pass ``StorageLevel.DISK_ONLY`` to keep it out of executor
+    memory, and release it with ``spark.catalog.clearCache()`` (or an
+    explicit unpersist of the input) once the result is materialized —
+    the entry shim does this between queries.
+    """
     # persisted: in self-scoring mode the exploded token frame feeds the
     # model aggregate, the total, AND the scoring join — Catalyst plans
     # each alias as an independent pipeline (no exchange reuse), so
     # without the persist the corpus regex-split/explode runs 3x
     toks = df.select(F.col(id_col), F.explode(tokenize(col)).alias("token")).persist(
-        StorageLevel.MEMORY_AND_DISK
+        storage_level
     )
     if model is None:
         model = toks.groupBy("token").agg(F.count("*").alias("n"))
+    else:
+        model = (
+            model.groupBy("token")
+            .agg(F.max("n").alias("n"), F.count(F.lit(1)).alias("_nm"))
+            .select(
+                "token",
+                F.when(
+                    F.col("_nm") > 1,
+                    F.raise_error(
+                        F.concat(
+                            F.lit("unigram_logprob: duplicate model rows for token "),
+                            F.col("token"),
+                        )
+                    ),
+                )
+                .otherwise(F.col("n"))
+                .alias("n"),
+            )
+        )
     total = model.agg(F.sum("n").alias("_N"))
     m = F.broadcast(model) if broadcast_model else model
     scored = (

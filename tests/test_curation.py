@@ -317,3 +317,55 @@ def test_remove_dup_spans_planted(spark):
     assert got[4] == (2, 0, "tiny doc")
     assert got[5] == (5, 5, "") and got[6] == (5, 5, "")
     assert got[7] == (0, 0, "")
+
+
+def test_top_fraction_transposed_fraction_raises(spark):
+    from logdag_spark.operators.curation import top_fraction_by_score
+
+    df = spark.createDataFrame([(1, "a", 5)], "doc_id long, source string, score int")
+    with pytest.raises(ValueError, match="num <= den"):
+        top_fraction_by_score(df, 4, 1, "score")
+
+
+def test_unigram_logprob_duplicate_model_token_raises(spark):
+    from logdag_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    model = spark.createDataFrame(
+        [("alpha", 3), ("alpha", 1), ("beta", 2)], "token string, n long"
+    )
+    with pytest.raises(Exception, match="duplicate model rows"):
+        unigram_logprob(df, model=model).collect()
+
+
+def test_corpus_persist_storage_level_knob(spark):
+    """unigram_logprob / remove_dup_spans accept a non-default storage
+    level for their corpus-scale internal persist (VERDICT r4 #7)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from logdag_spark.operators.curation import remove_dup_spans
+    from logdag_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d x y"), (3, "p q r s t u")],
+        "doc_id long, text string",
+    )
+    def cached_levels(frame):
+        plan = frame._jdf.queryExecution().optimizedPlan().toString()
+        return [
+            line.split("StorageLevel", 1)[1]
+            for line in plan.splitlines()
+            if "InMemoryRelation" in line
+        ]
+
+    spark.catalog.clearCache()
+    out = unigram_logprob(df, storage_level=StorageLevel.DISK_ONLY)
+    assert out.count() == 3
+    levels = cached_levels(out)
+    assert levels and all(lv.startswith("(disk,") for lv in levels)
+    spark.catalog.clearCache()
+    out2 = remove_dup_spans(df, n=2, storage_level=StorageLevel.DISK_ONLY)
+    assert out2.count() == 3
+    levels = cached_levels(out2)
+    assert levels and all(lv.startswith("(disk,") for lv in levels)
+    spark.catalog.clearCache()

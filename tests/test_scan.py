@@ -212,3 +212,19 @@ def test_group_quantiles_rejects_bad_fraction(spark, vals):
         group_quantiles(vals, "v", [(0, 4)], part_col="src", id_col="id")
     with pytest.raises(ValueError):
         group_quantiles(vals, "v", [(5, 4)], part_col="src", id_col="id")
+
+
+def test_mix_order_duplicate_weight_key_raises(spark):
+    from logdag_spark.operators.sampling import mix_order
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, source string")
+    w = spark.createDataFrame(
+        [("a", 3.0), ("a", 1.0), ("b", 2.0)], "key string, weight double"
+    )
+    with pytest.raises(Exception, match="duplicate weight rows"):
+        mix_order(df, w, key_col="source").collect()
+    # unique keys still fine
+    assert mix_order(
+        df, spark.createDataFrame([("a", 1.0), ("b", 2.0)], "key string, weight double"),
+        key_col="source",
+    ).count() == 2
