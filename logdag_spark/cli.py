@@ -31,6 +31,25 @@
     python -m logdag_spark search-trouble --warehouse WH --identifiers SUBSTR...
     python -m logdag_spark show-match   --warehouse WH --tid N [--rule both]
     python -m logdag_spark show-match-all / show-match-info --warehouse WH
+    python -m logdag_spark search-gid   --warehouse WH --gid K
+    python -m logdag_spark show-major-edges / show-minor-edges --warehouse WH
+        [--edge-score tfidf|idf|count] [--count N] [--ate-threshold T]
+    python -m logdag_spark show-edges-temporal-sort --warehouse WH
+        --timestr YYYYMMDD[_HHMMSS] [--reverse]
+    python -m logdag_spark show-dag-anomaly-score --warehouse WH [--reverse]
+    python -m logdag_spark search-similar-dag --warehouse WH --unit U [--k N]
+    python -m logdag_spark show-clusters --warehouse WH
+        [--n-clusters K] [--feature edge|evpair|node] [--score-weight none|idf]
+    python -m logdag_spark show-diff-info / show-diff-edges --warehouse WH --warehouse2 WH2
+    python -m logdag_spark show-graph-common-edges / show-graph-lor-edges
+        / show-graph-diff-direction / show-graph-diff-lts --warehouse WH --warehouse2 WH2
+    python -m logdag_spark show-graph-diff-search --warehouse WH --warehouse2 WH2 --gid K
+    python -m logdag_spark draw-graph-common / draw-graph-diff
+        --warehouse WH --warehouse2 WH2 [--out DOT_DIR]
+    python -m logdag_spark list-trouble-label --warehouse WH
+    python -m logdag_spark show-trouble-info --warehouse WH --tid N
+    python -m logdag_spark show-match-diff --warehouse WH --warehouse2 WH2 [--rule all]
+    python -m logdag_spark reload-area  --warehouse WH
     python -m logdag_spark show-snmp-stats --warehouse WH
     python -m logdag_spark drop-features --warehouse WH
     python -m logdag_spark dump-input   --warehouse WH --out CSV_DIR
@@ -141,6 +160,36 @@ def _common(p: argparse.ArgumentParser) -> None:
         "--rule", default="both", choices=["all", "both", "either", "log-snmp"],
         help="show-match edge-match rule (reference eval/match_edge.py)",
     )
+    p.add_argument(
+        "--warehouse2", default=None,
+        help="second DAG-set warehouse for the comparison commands "
+             "(reference passes a second config file)",
+    )
+    p.add_argument("--gid", default=None,
+                   help="search-gid / show-graph-diff-search: event key to search")
+    p.add_argument("--unit", default=None, help="search-similar-dag: query unit")
+    p.add_argument(
+        "--feature", default="edge", choices=["edge", "evpair", "node"],
+        help="DAG vector space (show-clusters / search-similar-dag)",
+    )
+    p.add_argument("--score-weight", default="idf", choices=["none", "idf"],
+                   help="DAG vector weighting (show-clusters)")
+    p.add_argument(
+        "--edge-score", default="tfidf", choices=["tfidf", "idf", "count"],
+        help="show-major/minor-edges ranking column (reference --score)",
+    )
+    p.add_argument("--count", type=int, default=20,
+                   help="rows shown by the edge-ranking commands")
+    p.add_argument("--n-clusters", type=int, default=None,
+                   help="show-clusters k (default: floor(sqrt(n_units)))")
+    p.add_argument("--timestr", default=None,
+                   help="show-edges-temporal-sort %%Y%%m%%d(_%%H%%M%%S) query time")
+    p.add_argument("--reverse", action="store_true", help="reverse the sort")
+    p.add_argument(
+        "--ate-threshold", type=float, default=None,
+        help="optional ate_prune filter before edge ranking "
+             "(reference OPT_THRESHOLD)",
+    )
 
 
 _DOC_CMDS = frozenset({
@@ -165,6 +214,15 @@ def main(argv: list[str] | None = None) -> int:
         "add-lids-stdin", "show-lids", "list-group", "list-trouble-stat",
         "search-trouble", "show-trouble", "show-match", "show-match-all",
         "show-match-info", "show-snmp-stats", "drop-features",
+        "search-gid", "show-major-edges", "show-minor-edges",
+        "show-edges-temporal-sort", "show-dag-anomaly-score",
+        "search-similar-dag", "show-clusters",
+        "show-diff-info", "show-diff-edges", "show-graph-common-edges",
+        "show-graph-lor-edges", "show-graph-diff-direction",
+        "show-graph-diff-lts", "show-graph-diff-search",
+        "draw-graph-common", "draw-graph-diff",
+        "list-trouble-label", "show-trouble-info", "show-match-diff",
+        "reload-area",
         "dump-input", "lineage", "dedup-docs", "ann-topk",
         "sample-docs", "pack-docs", "vocab", "curate-docs",
         "chunk-docs", "budget-docs",
@@ -575,6 +633,323 @@ def main(argv: list[str] | None = None) -> int:
             matched.orderBy("tid", "unit", "src_eid", "dst_eid").show(
                 200, truncate=False
             )
+    elif args.cmd == "search-gid":
+        # reference visual/__main__.py:21-28: list DAG edges touching a gid
+        from logdag_spark.operators.graphops import edges_with_nodes, f_edge_search
+
+        if args.gid is None:
+            ap.error("search-gid needs --gid")
+        e = edges_with_nodes(cat.read("dag_edges"), cat.read("event_dim"))
+        f_edge_search(e, gid=args.gid).select(
+            "unit", "src_id", "dst_id", "directed", "weight"
+        ).orderBy("unit", "src_id", "dst_id").show(200, truncate=False)
+    elif args.cmd in ("show-major-edges", "show-minor-edges"):
+        # reference visual/__main__.py:31-91 (edge_search.show_sorted_edges):
+        # edges ranked by tfidf/idf/count, major = descending, minor =
+        # ascending; optional ate_prune filter first
+        from pyspark.sql import functions as F
+
+        from logdag_spark.operators.graphops import edge_tfidf, f_ate_prune
+
+        edges = cat.read("dag_edges")
+        if args.ate_threshold is not None:
+            edges = f_ate_prune(edges, args.ate_threshold)
+        t = edge_tfidf(edges, cat.read("event_dim"))
+        col = {"tfidf": "tfidf", "idf": "idf", "count": "cnt"}[args.edge_score]
+        order = F.asc(col) if args.cmd == "show-minor-edges" else F.desc(col)
+        t.orderBy(order, "unit", "pair_key").show(args.count, truncate=False)
+    elif args.cmd == "show-edges-temporal-sort":
+        # reference visual/__main__.py:93-129: edges sorted by the
+        # count-weighted mean distance of their endpoints from a query time
+        from datetime import datetime
+
+        from pyspark.sql import functions as F
+
+        from logdag_spark.operators.graphops import temporal_edge_sort
+
+        if not args.timestr:
+            ap.error("show-edges-temporal-sort needs --timestr")
+        fmt = "%Y%m%d_%H%M%S" if "_" in args.timestr else "%Y%m%d"
+        qts = datetime.strptime(args.timestr, fmt)
+        out = temporal_edge_sort(
+            cat.read("dag_edges"), cat.read("event_dim"),
+            cat.read("unit_matrix"), qts,
+        )
+        if args.reverse:
+            out = out.orderBy(F.desc("score"))
+        out.show(args.count, truncate=False)
+    elif args.cmd == "show-dag-anomaly-score":
+        # reference visual/__main__.py:132-148: per-unit sum of edge scores
+        from pyspark.sql import functions as F
+
+        from logdag_spark.operators.graphops import anomaly_score, edge_tfidf
+
+        s = anomaly_score(
+            edge_tfidf(cat.read("dag_edges"), cat.read("event_dim"))
+        )
+        s.orderBy(
+            F.asc("score") if args.reverse else F.desc("score"), "unit"
+        ).show(200, truncate=False)
+    elif args.cmd == "search-similar-dag":
+        # reference visual/__main__.py:151-162: top-n units by edge-set cosine
+        from logdag_spark.operators.graphops import similar_dags_topn
+
+        if not args.unit:
+            ap.error("search-similar-dag needs --unit")
+        similar_dags_topn(
+            cat.read("dag_edges"), cat.read("event_dim"), args.unit,
+            n=args.k if args.k is not None else 10,
+        ).show(truncate=False)
+    elif args.cmd == "show-clusters":
+        # reference visual/__main__.py:165-172 (edge_search.show_clusters):
+        # kmeans over unit DAG vectors + the common components (top gmean
+        # features) of every multi-member cluster
+        from pyspark.sql import functions as F
+
+        from logdag_spark.operators.graphops import (
+            cluster_common_components,
+            dag_vectors,
+            kmeans_units,
+        )
+
+        vec = dag_vectors(
+            cat.read("dag_edges"), cat.read("event_dim"),
+            space=args.feature, weight=args.score_weight,
+        ).persist()
+        n_units = vec.select("unit").distinct().count()
+        if n_units == 0:
+            ap.error("no DAG units in the warehouse — run make-dag first")
+        k = args.n_clusters or max(1, int(n_units ** 0.5))
+        assign = kmeans_units(vec, k=k)
+        assign.orderBy("cluster", "unit").show(200, truncate=False)
+        # bounded driver loop: one row per unit (days), not corpus-scale
+        by_cluster: dict[int, list[str]] = {}
+        for r in assign.collect():
+            by_cluster.setdefault(r["cluster"], []).append(r["unit"])
+        for cid in sorted(by_cluster):
+            members = sorted(by_cluster[cid])
+            print(f"cluster {cid}: {members}")
+            if len(members) >= 2:
+                top = cluster_common_components(vec, members).limit(10).collect()
+                for t in top:
+                    print(f"  {t['feat']}\t{t['gmean']:.6f}")
+        vec.unpersist()
+    elif args.cmd in (
+        "show-diff-info", "show-diff-edges", "show-graph-common-edges",
+        "show-graph-lor-edges", "show-graph-diff-direction",
+        "show-graph-diff-lts", "show-graph-diff-search",
+        "draw-graph-common", "draw-graph-diff", "show-match-diff",
+    ):
+        # reference visual/__main__.py:218-394 / eval/__main__.py:242-288:
+        # two-DAG-set comparisons; the second config file becomes a second
+        # warehouse
+        from pyspark.sql import functions as F
+
+        from logdag_spark.operators.graphops import (
+            direction_diff,
+            edge_pair_key,
+            edges_common,
+            edges_diff,
+            edges_lor,
+            edges_with_nodes,
+        )
+
+        if not args.warehouse2:
+            ap.error(f"{args.cmd} needs --warehouse2")
+        cat2 = Catalog(spark, args.warehouse2, iceberg_catalog=args.iceberg_catalog)
+        ev1, ev2 = cat.read("event_dim"), cat2.read("event_dim")
+        raw1, raw2 = cat.read("dag_edges"), cat2.read("dag_edges")
+        e1 = edges_with_nodes(raw1, ev1)
+        e2 = edges_with_nodes(raw2, ev2)
+        if args.cmd == "show-match-diff":
+            # eval/__main__.py:242-288: per-ticket match counts under both
+            # configs; print details only where the counts differ
+            from logdag_spark.operators.dagio import load_trouble_tickets
+            from logdag_spark.operators.graphops import match_trouble_edges
+
+            tpath = args.trouble_path or os.path.join(args.warehouse, "troubles")
+            if not os.path.isdir(tpath):
+                ap.error(f"no trouble store at {tpath}")
+            trouble = load_trouble_tickets(spark, tpath)
+            m1 = match_trouble_edges(raw1, ev1, trouble, rule=args.rule)
+            m2 = match_trouble_edges(raw2, ev2, trouble, rule=args.rule)
+            c1 = m1.groupBy("tid").agg(F.count("*").alias("n_1"))
+            c2 = m2.groupBy("tid").agg(F.count("*").alias("n_2"))
+            diff = (
+                c1.join(c2, "tid", "full_outer")
+                .na.fill(0, ["n_1", "n_2"])
+                .where(F.col("n_1") != F.col("n_2"))
+                .orderBy("tid")
+            )
+            diff.show(200, truncate=False)
+            tids = [r["tid"] for r in diff.select("tid").collect()]
+            if tids:
+                print(f"-- edges under {args.warehouse}")
+                m1.where(F.col("tid").isin(tids)).orderBy(
+                    "tid", "unit", "src_eid", "dst_eid"
+                ).show(200, truncate=False)
+                print(f"-- edges under {args.warehouse2}")
+                m2.where(F.col("tid").isin(tids)).orderBy(
+                    "tid", "unit", "src_eid", "dst_eid"
+                ).show(200, truncate=False)
+        elif args.cmd == "show-diff-info":
+            # visual/__main__.py:218-247: lor/common/diff1/diff2 totals
+            n_common = edges_common(e1, e2).count()
+            n_lor = edges_lor(e1, e2).count()
+            n_d1 = edges_diff(e1, e2).count()
+            n_d2 = edges_diff(e2, e1).count()
+            print(f"Logical OR edges: {n_lor}")
+            print(f"Common edges: {n_common}")
+            print(f"Edges only found in {args.warehouse}: {n_d1}")
+            print(f"Edges only found in {args.warehouse2}: {n_d2}")
+        elif args.cmd == "show-diff-edges":
+            # visual/__main__.py:249-278: per-unit listing of edges in
+            # set 1 but not set 2
+            edges_diff(e1, e2).orderBy("unit", "pair_key").show(
+                500, truncate=False
+            )
+        elif args.cmd in ("show-graph-common-edges", "show-graph-lor-edges"):
+            # visual/__main__.py:281-325: total + per-unit counts
+            op = edges_common if args.cmd == "show-graph-common-edges" else edges_lor
+            tag = "common" if args.cmd == "show-graph-common-edges" else \
+                "logical disjunction"
+            res = op(e1, e2).persist()
+            print(f"{tag} edge num: {res.count()}")
+            res.groupBy("unit").count().orderBy("unit").show(200, truncate=False)
+            res.unpersist()
+        elif args.cmd == "show-graph-diff-direction":
+            # visual/__main__.py:360-394: common pairs with differing
+            # orientation, plus the total
+            d = direction_diff(e1, e2)
+            if args.unit:
+                d = d.where(F.col("unit") == args.unit)
+            d = d.orderBy("unit", "pair_key").persist()
+            d.show(200, truncate=False)
+            print(d.count())
+            d.unpersist()
+        elif args.cmd in ("show-graph-diff-lts", "show-graph-diff-search"):
+            # visual/__main__.py:327-357: gids behind the diff edges —
+            # per-gid unit counts (-lts) or the units for one gid (-search)
+            diff = edges_diff(e1, e2)
+            keyed = edge_pair_key(e1).join(diff, ["unit", "pair_key"], "left_semi")
+            gids = keyed.select(
+                "unit", F.explode(F.array("src_key", "dst_key")).alias("gid")
+            ).distinct()
+            if args.cmd == "show-graph-diff-search":
+                if args.gid is None:
+                    ap.error("show-graph-diff-search needs --gid")
+                gids.where(F.col("gid") == args.gid).orderBy("unit").show(
+                    200, truncate=False
+                )
+            else:
+                gids.groupBy("gid").agg(
+                    F.count("*").alias("n_units"),
+                    F.sort_array(F.collect_set("unit")).alias("units"),
+                ).orderBy(F.desc("n_units"), "gid").show(200, truncate=False)
+        else:  # draw-graph-common / draw-graph-diff
+            # visual/__main__.py:176-215 render via matplotlib; the DOT
+            # source is the render-free artifact (same as plot-dag)
+            from logdag_spark.operators.dagio import export_dot
+
+            op = edges_common if args.cmd == "draw-graph-common" else edges_diff
+            subset = op(e1, e2)
+            kept = edge_pair_key(e1).join(
+                subset, ["unit", "pair_key"], "left_semi"
+            ).select(raw1.columns)
+            sub = "dot_common" if args.cmd == "draw-graph-common" else "dot_diff"
+            out_dir = args.out or os.path.join(args.warehouse, sub)
+            for p in export_dot(kept, ev1, out_dir):
+                print(p)
+    elif args.cmd in ("list-trouble-label", "show-trouble-info"):
+        # reference eval/__main__.py:117-167: ticket event stats — related
+        # events/hosts/templates and the per-group message breakdown
+        from pyspark.sql import functions as F
+
+        from logdag_spark.operators.dagio import list_troubles, load_trouble_tickets
+
+        tpath = args.trouble_path or os.path.join(args.warehouse, "troubles")
+        if not os.path.isdir(tpath):
+            ap.error(f"no trouble store at {tpath}")
+        trouble = load_trouble_tickets(spark, tpath)
+        tickets = list_troubles(spark, tpath)
+        evdim = cat.read("event_dim")
+        if "group" not in evdim.columns:
+            gid_groups = fx.template_dim(spark).select(
+                F.col("gid").cast("string").alias("key"), "group"
+            )
+            evdim = evdim.join(F.broadcast(gid_groups), "key", "left").withColumn(
+                "group", F.coalesce("group", F.lit("snmp"))
+            )
+        # identifier-level event stats (units collapse: the reference
+        # counts one event per (host, gid) across the whole period)
+        ev = evdim.groupBy("identifier").agg(
+            F.first("host").alias("host"),
+            F.first("key").alias("key"),
+            F.first("group").alias("ev_group"),
+            F.sum("total").alias("msgs"),
+        )
+        hit = trouble.join(ev, "identifier")
+        if args.cmd == "list-trouble-label":
+            per_group = (
+                hit.groupBy("tid", "ev_group")
+                .agg(
+                    F.countDistinct("key").alias("n_templates"),
+                    F.sum("msgs").alias("n_msgs"),
+                )
+                .join(tickets.select("tid", "group"), "tid", "left")
+                .select("tid", "group", "ev_group", "n_templates", "n_msgs")
+                .orderBy("tid", F.desc("n_templates"), "ev_group")
+            )
+            per_group.show(200, truncate=False)
+        else:
+            if args.tid is None:
+                ap.error("show-trouble-info needs --tid")
+            tid = str(args.tid).zfill(4)
+            trow = [t for t in tickets.collect() if t["tid"] == tid]
+            if not trow:
+                ap.error(f"no trouble ticket {args.tid} in {tpath}")
+            t = trow[0]
+            print(
+                f"ticket {t['tid']} date={t['date']} group={t['group']} "
+                f"title={t['title']!r}"
+            )
+            mine = hit.where(F.col("tid") == tid).persist()
+            n_ev = mine.count()
+            hosts = sorted(
+                r["host"] for r in mine.select("host").distinct().collect()
+            )
+            keys = sorted(
+                r["key"] for r in mine.select("key").distinct().collect()
+            )
+            print(f"{n_ev} related events")
+            print(f"{len(hosts)} related hosts: {hosts}")
+            print(f"{len(keys)} related templates: {keys}")
+            for g in (
+                mine.groupBy("ev_group")
+                .agg(
+                    F.sum("msgs").alias("msgs"),
+                    F.sort_array(F.collect_set("key")).alias("keys"),
+                )
+                .orderBy("ev_group")
+                .collect()
+            ):
+                print(
+                    f"  group {g['ev_group']}: {g['msgs']} messages, "
+                    f"{len(g['keys'])} templates {list(g['keys'])}"
+                )
+            mine.unpersist()
+    elif args.cmd == "reload-area":
+        # reference __main__.py:30-33 (tsdb.reload_area): re-read the area
+        # definition into the stored arguments
+        from logdag_spark.pipeline.correlate import make_unit_hosts
+
+        uh = make_unit_hosts(spark, dt_range, cfg, fx.host_meta(spark))
+        # materialize before overwrite: the plan must not read the files
+        # the write replaces (same pattern as update-event-label)
+        cat.write(
+            uh.localCheckpoint(eager=True), "unit_args", stage="reload-area"
+        )
+        print(f"{cat.read('unit_args').select('unit').distinct().count()} units")
     elif args.cmd == "show-snmp-stats":
         # reference source/__main__.py:199-201: event counts per
         # telemetry feature measure (everything routed off the log sink)

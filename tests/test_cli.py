@@ -291,6 +291,163 @@ def test_eval_trouble_surface(cli_run, spark, warehouse, tmp_path, capsys,
     capsys.readouterr()
 
 
+def test_visual_analytics_surface(cli_run, warehouse, capsys):
+    """The visual-analytics commands (reference visual/__main__.py:21-172):
+    gid search, tfidf edge ranking, temporal sort, anomaly score, DAG
+    similarity and clustering — all over the module warehouse."""
+    assert cli_run("search-gid", "--warehouse", warehouse, "--gid", "0") == 0
+    out = capsys.readouterr().out
+    assert "src_id" in out
+
+    assert cli_run("show-major-edges", "--warehouse", warehouse) == 0
+    out = capsys.readouterr().out
+    assert "tfidf" in out and "pair_key" in out
+
+    assert cli_run("show-minor-edges", "--warehouse", warehouse,
+                   "--edge-score", "count", "--count", "5") == 0
+    out = capsys.readouterr().out
+    assert "pair_key" in out
+
+    assert cli_run("show-dag-anomaly-score", "--warehouse", warehouse) == 0
+    out = capsys.readouterr().out
+    assert "score" in out
+
+    assert cli_run("show-edges-temporal-sort", "--warehouse", warehouse,
+                   "--timestr", "20240101_060000") == 0
+    out = capsys.readouterr().out
+    assert "score" in out
+
+    assert cli_run("search-similar-dag", "--warehouse", warehouse,
+                   "--unit", "all_20240101") == 0
+    out = capsys.readouterr().out
+    assert "cosine" in out
+
+    assert cli_run("show-clusters", "--warehouse", warehouse) == 0
+    out = capsys.readouterr().out
+    assert "cluster" in out
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        cli_run("search-gid", "--warehouse", warehouse)  # missing --gid
+    capsys.readouterr()
+    with _pytest.raises(SystemExit):
+        cli_run("show-edges-temporal-sort", "--warehouse", warehouse)
+    capsys.readouterr()
+
+
+def test_graph_comparison_surface(cli_run, warehouse, tmp_path, capsys):
+    """The two-DAG-set comparison commands (reference
+    visual/__main__.py:218-394): a second warehouse built at a coarser
+    CI bin plays the second config file."""
+    wh2 = str(tmp_path / "wh2")
+    assert cli_run("make-dag", "--scale", "0.02", "--bin-size", "5m",
+                   "--warehouse", wh2) == 0
+    capsys.readouterr()
+
+    assert cli_run("show-diff-info", "--warehouse", warehouse,
+                   "--warehouse2", wh2) == 0
+    out = capsys.readouterr().out
+    assert "Logical OR edges:" in out and "Common edges:" in out
+
+    assert cli_run("show-diff-edges", "--warehouse", warehouse,
+                   "--warehouse2", wh2) == 0
+    out = capsys.readouterr().out
+    assert "pair_key" in out
+
+    assert cli_run("show-graph-common-edges", "--warehouse", warehouse,
+                   "--warehouse2", wh2) == 0
+    out = capsys.readouterr().out
+    assert "common edge num:" in out
+
+    assert cli_run("show-graph-lor-edges", "--warehouse", warehouse,
+                   "--warehouse2", wh2) == 0
+    out = capsys.readouterr().out
+    assert "logical disjunction edge num:" in out
+
+    assert cli_run("show-graph-diff-direction", "--warehouse", warehouse,
+                   "--warehouse2", wh2) == 0
+    out = capsys.readouterr().out
+    assert "pair_key" in out and out.strip().splitlines()[-1].isdigit()
+
+    assert cli_run("show-graph-diff-lts", "--warehouse", warehouse,
+                   "--warehouse2", wh2) == 0
+    out = capsys.readouterr().out
+    assert "gid" in out
+
+    assert cli_run("show-graph-diff-search", "--warehouse", warehouse,
+                   "--warehouse2", wh2, "--gid", "0") == 0
+    capsys.readouterr()
+
+    dot_dir = str(tmp_path / "dot_common")
+    assert cli_run("draw-graph-common", "--warehouse", warehouse,
+                   "--warehouse2", wh2, "--out", dot_dir) == 0
+    capsys.readouterr()
+    import glob as _glob
+
+    dots = _glob.glob(f"{dot_dir}/*.dot")
+    assert dots and open(dots[0]).read().startswith("digraph")
+
+    assert cli_run("draw-graph-diff", "--warehouse", warehouse,
+                   "--warehouse2", wh2,
+                   "--out", str(tmp_path / "dot_diff")) == 0
+    capsys.readouterr()
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        cli_run("show-diff-info", "--warehouse", warehouse)  # no --warehouse2
+    capsys.readouterr()
+
+
+def test_eval_info_commands_and_reload_area(cli_run, warehouse, tmp_path,
+                                            capsys):
+    """list-trouble-label / show-trouble-info / show-match-diff
+    (reference eval/__main__.py:117-167,242-288) + reload-area
+    (reference __main__.py:30-33)."""
+    tdir = str(tmp_path / "troubles")
+    assert cli_run("add-trouble", "--warehouse", warehouse,
+                   "--trouble-path", tdir, "--date", "20240101",
+                   "--group", "network", "--title", "flap") == 0
+    capsys.readouterr()
+    assert cli_run("add-lids", "--warehouse", warehouse, "--trouble-path",
+                   tdir, "--tid", "0",
+                   "--identifiers", "host00:0", "host00:1") == 0
+    capsys.readouterr()
+
+    assert cli_run("list-trouble-label", "--warehouse", warehouse,
+                   "--trouble-path", tdir) == 0
+    out = capsys.readouterr().out
+    assert "ev_group" in out and "n_templates" in out and "0000" in out
+
+    assert cli_run("show-trouble-info", "--warehouse", warehouse,
+                   "--trouble-path", tdir, "--tid", "0") == 0
+    out = capsys.readouterr().out
+    assert "related events" in out and "related hosts" in out
+    assert "host00" in out and "group" in out
+
+    wh2 = str(tmp_path / "wh2_match")
+    assert cli_run("make-dag", "--scale", "0.02", "--bin-size", "5m",
+                   "--warehouse", wh2) == 0
+    capsys.readouterr()
+    assert cli_run("show-match-diff", "--warehouse", warehouse,
+                   "--warehouse2", wh2, "--trouble-path", tdir,
+                   "--rule", "all") == 0
+    out = capsys.readouterr().out
+    assert "tid" in out
+
+    assert cli_run("reload-area", "--warehouse", warehouse) == 0
+    out = capsys.readouterr().out
+    assert "units" in out
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        cli_run("show-trouble-info", "--warehouse", warehouse,
+                "--trouble-path", tdir)  # missing --tid
+    capsys.readouterr()
+
+
 def test_snmp_stats_and_drop_features_last(cli_run, spark, warehouse, capsys):
     """show-snmp-stats lists non-log measures (reference
     source/__main__.py:199-201); drop-features removes the derived

@@ -827,3 +827,47 @@ def test_shuffle_order_is_a_permutation_and_salt_sensitive(spark):
     assert other != by_id  # different salt -> different epoch order
     with pytest.raises(ValueError):
         shuffle_order(df.withColumn("epoch_rank", F.lit(1)))
+
+
+def test_lsh_to_containment_composition(spark):
+    """The PRODUCTION containment path: minhash_lsh_candidates ->
+    ngram_containment_pairs (the entry's all-pairs crossJoin is only the
+    sf0.01 oracle harness).  Planted quote/subset duplicates — a short
+    doc embedded whole in a larger one — must surface as LSH candidates
+    (their Jaccard ~0.4 still collides at 16 bands x 2 rows) and verify
+    with containment ~1.0 on the quote side while Jaccard stays low."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    planted = []
+    for p in range(5):
+        vocab = [f"w{p}_{i}" for i in range(60)]
+        big = " ".join(vocab)
+        quote = " ".join(vocab[:25])  # fully contained prefix
+        rows.append((p * 10, big))
+        rows.append((p * 10 + 1, quote))
+        planted.append((p * 10, p * 10 + 1))
+    for u in range(5):
+        rows.append((1000 + u, " ".join(f"u{u}_{rng.randint(0, 9)}{i}" for i in range(40))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cand = dedup.minhash_lsh_candidates(df, num_hashes=32, bands=16)
+    got_cand = {(r["id1"], r["id2"]) for r in cand.collect()}
+    hit = [p for p in planted if p in got_cand]
+    assert len(hit) >= 4, f"LSH missed quote pairs: {got_cand & set(planted)}"
+
+    ver = dedup.ngram_containment_pairs(df, cand)
+    strong = ver.where(F.greatest("c1", "c2") >= 0.9)
+    got = {(r["id1"], r["id2"]): (r["c1"], r["c2"]) for r in strong.collect()}
+    for p in hit:
+        assert p in got, f"containment verify dropped planted pair {p}"
+        c1, c2 = got[p]
+        assert max(c1, c2) >= 0.95  # the quote side is fully contained
+    # no unrelated doc survives verification
+    for (a, b) in got:
+        assert not (a >= 1000 or b >= 1000)
+    # and Jaccard alone would have missed them (the structural point)
+    jac = dedup.ngram_jaccard_pairs(df, cand).where(F.col("jaccard") >= 0.9)
+    jac_pairs = {(r["id1"], r["id2"]) for r in jac.collect()}
+    assert not (jac_pairs & set(planted))
