@@ -3432,6 +3432,57 @@ SELECT b.doc_id, b.n_tok, b.dup_token_frac,
 FROM base b LEFT JOIN bt USING (doc_id)
 """
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher document-quality gate (curation.gopher_quality; Rae et
+    al. 2021 §A1.1): word-count band, mean-word-length band,
+    alpha-word fraction, distinct-stop-word presence, composed with
+    the repetition fractions into one keep verdict.  Thresholds sit
+    inside this corpus's observed spread (n_words 10-99 median 56,
+    stop_hits 0-1, dup_token_frac 0-0.72 median 0.54) so the verdict
+    discriminates on three independent rules."""
+    from logdag_spark.operators.curation import gopher_quality
+
+    d = _load(spark, sf_dir, "documents")
+    return gopher_quality(
+        d, min_words=50, min_stop_hits=1, max_dup_token_frac=0.55
+    )
+
+
+SQL_GOPHER_QUALITY = _SQL_DOC_TOKS + f""",
+base AS (
+  SELECT doc_id, len(toks)::int AS n_words,
+    round(CASE WHEN len(toks) > 0
+          THEN list_sum(list_transform(toks, w -> length(w)))::double / len(toks)
+          ELSE 0.0 END, 6) AS mean_word_len,
+    round(CASE WHEN len(toks) > 0
+          THEN len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))::double / len(toks)
+          ELSE 0.0 END, 6) AS alpha_word_frac,
+    len(list_intersect(list_distinct(toks),
+        ['the','be','to','of','and','that','have','with']))::int AS stop_hits,
+    round(CASE WHEN len(toks) > 0
+          THEN 1 - len(list_distinct(toks))::double / len(toks)
+          ELSE 0.0 END, 6) AS dup_token_frac
+  FROM t
+),
+bg AS ({_sql_ngrams(2)}),
+bc AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2),
+bt AS (
+  SELECT doc_id, round(max(c)::double / sum(c)::double, 6) AS top_bigram_frac
+  FROM bc GROUP BY 1
+)
+SELECT b.doc_id, b.n_words, b.mean_word_len, b.alpha_word_frac, b.stop_hits,
+       b.dup_token_frac,
+       coalesce(bt.top_bigram_frac, 0.0) AS top_bigram_frac,
+       (b.n_words >= 50 AND b.n_words <= 100000
+        AND b.mean_word_len >= 3.0 AND b.mean_word_len <= 10.0
+        AND b.alpha_word_frac >= 0.80
+        AND b.stop_hits >= 1
+        AND b.dup_token_frac <= 0.55
+        AND coalesce(bt.top_bigram_frac, 0.0) <= 0.18) AS keep
+FROM base b LEFT JOIN bt USING (doc_id)
+"""
+
+
 def q_pii_redact(spark, sf_dir):
     """PII-style redaction (curation.pii_redact) over deterministically
     augmented text (the word-soup corpus has no PII of its own)."""
@@ -4334,11 +4385,13 @@ QUERIES = {
     "embedding_near_dups_bf": (q_embedding_near_dups_bf, SQL_NEAR_DUPS),
     "trouble_match_daily": (q_trouble_match_daily, SQL_TROUBLE),
     "customers_without_orders": (q_customers_without_orders, SQL_NO_ORDERS),
+    # new in round 5 (never driver-checked, exact oracle)
+    "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     # never-driver-checked rows-only entries
     "semantic_dedup_ivf": (q_semantic_dedup_ivf, None),
     "kmeans_daily": (q_kmeans_daily, None),
-    "anomaly_iforest": (q_anomaly_iforest, None),
     # ------------------------------------------------------------------ 50 --
+    "anomaly_iforest": (q_anomaly_iforest, None),
     "ivf_topk": (q_ivf_topk, None),
     "pc_depth2_daily": (q_pc_depth2_daily, None),
     # §2.4 aggregations / discretize

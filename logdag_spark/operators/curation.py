@@ -217,6 +217,89 @@ def repetition_filter(
     )
 
 
+# the word-presence subset of Gopher's stop list (Rae et al. 2021,
+# "Scaling Language Models", table A1 quality rules): the rule counts
+# DISTINCT stop words present, not their frequency
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.80,
+    min_stop_hits: int = 2,
+    max_dup_token_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.18,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher document-quality gate (Rae et al. 2021 §A1.1): the
+    word-level rules — word count in [min, max], mean word length in
+    [3, 10], fraction of words containing an alphabetic character
+    ≥ 0.8, at least 2 distinct stop words present — composed with the
+    repetition rules this module already computes
+    (:func:`repetition_stats`: duplicate-token fraction, dominant-
+    bigram fraction) into one ``keep`` verdict with every rule's value
+    and flag exposed for threshold sweeps.
+
+    All word rules are single-pass column expressions over a let-bound
+    token array (one regex split per row, no UDF, no shuffle); the
+    repetition join adds the module's existing bounded (id, gram)
+    aggregate.  Mean word length avoids a per-word aggregate entirely:
+    it is (chars minus whitespace-ish separators) / words, computed as
+    ``sum(length(word))`` via aggregate() so the SQL oracle can spell
+    the identical quantity.  Fractions round to 6 decimals before the
+    threshold compare (same convention as :func:`repetition_filter` —
+    Spark and the DuckDB oracle must decide borderline docs
+    identically).
+    """
+    toks = tokenize(col)
+    nw = F.size(toks)
+    wordlen_sum = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_wl = F.round(
+        F.when(nw > 0, wordlen_sum.cast("double") / nw).otherwise(F.lit(0.0)), 6
+    )
+    alpha = F.round(
+        F.when(
+            nw > 0,
+            F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))).cast("double") / nw,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        )
+    )
+    base = df.select(
+        F.col(id_col),
+        nw.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha.alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    rep = repetition_stats(df, col, id_col).select(
+        id_col, "dup_token_frac", "top_bigram_frac"
+    )
+    out = base.join(rep, id_col)
+    return out.withColumn(
+        "keep",
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("alpha_word_frac") >= min_alpha_frac)
+        & (F.col("stop_hits") >= min_stop_hits)
+        & (F.col("dup_token_frac") <= max_dup_token_frac)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac),
+    )
+
+
 def top_fraction_by_score(
     df: DataFrame,
     num: int,

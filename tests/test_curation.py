@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from logdag_spark.operators.curation import (
     decontaminate,
+    gopher_quality,
     pii_redact,
     repetition_filter,
     repetition_stats,
@@ -70,6 +71,39 @@ def test_repetition_stats_and_filter(spark):
         for r in repetition_filter(df, 0.3, 0.5).collect()
     }
     assert kept == {1: False, 2: True, 3: True}
+
+
+def test_gopher_quality_rules(spark):
+    """Each Gopher rule (Rae et al. 2021 §A1.1) fails exactly the doc
+    planted to violate it; the clean doc passes every rule."""
+    good = "the quick brown fox jumps over dogs and cats with great vigor often"
+    df = _docs(
+        spark,
+        [
+            (1, good),                              # passes all rules
+            (2, "short of words"),                  # n_words < 5
+            (3, "internationalization " * 12),      # mean word len > 10 (and dup)
+            (4, "1 2 3 4 5 6 7 8 9 0 11 22 33 44"), # alpha fraction 0
+            (5, "quick brown fox jumps high"),      # zero stop words
+            (6, "the the the the the of of of"),    # dup_token_frac high
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in gopher_quality(
+        df, min_words=5, min_stop_hits=2, max_dup_token_frac=0.5,
+        max_top_bigram_frac=0.9,
+    ).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["n_words"] == 3
+    assert out[3]["keep"] is False and out[3]["mean_word_len"] > 10
+    assert out[4]["keep"] is False and out[4]["alpha_word_frac"] == 0.0
+    assert out[5]["keep"] is False and out[5]["stop_hits"] == 0
+    assert out[6]["keep"] is False and out[6]["dup_token_frac"] == 0.75
+    # values the SQL oracle must reproduce: 6-decimal-rounded fractions
+    assert out[1]["stop_hits"] == 3  # the, and, with
+    words = good.split()
+    assert abs(
+        out[1]["mean_word_len"] - round(sum(map(len, words)) / len(words), 6)
+    ) < 1e-12
 
 
 def test_pii_redact_counts_and_masks(spark):
