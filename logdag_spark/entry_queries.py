@@ -1200,7 +1200,10 @@ def q_near_dup_groups(spark, sf_dir):
     return near_dup_groups(pairs).orderBy("doc_id")
 
 
-SQL_NEAR_DUP_GROUPS = """
+# shared recursive-component CTE chain: verified Jaccard>=0.2 pair graph
+# over bigram shingles -> symmetric closure -> min-reachable-id component
+# label per grouped doc (used by near_dup_groups AND dedup_keep_canonical)
+_SQL_NEAR_DUP_CTES = """
 WITH t AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '[^a-z0-9_'']+'),
@@ -1234,11 +1237,42 @@ reach AS (
     UNION
     SELECT r.node, s.b FROM r JOIN sym s ON r.other = s.a
   ) SELECT * FROM r
-)
-SELECT node::bigint AS doc_id, min(other)::bigint AS group_id,
-       (node = min(other)) AS is_canonical
-FROM reach GROUP BY node ORDER BY doc_id
+),
+comp AS (
+  SELECT node::bigint AS doc_id, min(other)::bigint AS group_id
+  FROM reach GROUP BY node
+)"""
+
+SQL_NEAR_DUP_GROUPS = _SQL_NEAR_DUP_CTES + """
+SELECT doc_id, group_id, (doc_id = group_id) AS is_canonical
+FROM comp ORDER BY doc_id
 """
+
+SQL_DEDUP_KEEP_CANONICAL = _SQL_NEAR_DUP_CTES + """,
+ranked AS (
+  SELECT c.doc_id, c.group_id,
+         row_number() OVER (PARTITION BY c.group_id
+                            ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk
+  FROM comp c JOIN documents d USING (doc_id)
+)
+SELECT d.doc_id, r.group_id,
+       coalesce(r.rk = 1, TRUE) AS keep
+FROM documents d LEFT JOIN ranked r USING (doc_id)
+"""
+
+
+def q_dedup_keep_canonical(spark, sf_dir):
+    """Terminal dedup verdict (dedup.dedup_keep_canonical): the whole
+    corpus labeled keep/drop — docs in no near-dup group are kept,
+    grouped docs keep only the longest member (n_chars desc, doc_id
+    tiebreak).  Chains the same verified-Jaccard pair graph and
+    component closure as near_dup_groups."""
+    from logdag_spark.operators.dedup import dedup_keep_canonical, near_dup_groups
+
+    d = _load(spark, sf_dir, "documents")
+    pairs = all_pairs_jaccard(d, "text", "doc_id", th=0.2)
+    groups = near_dup_groups(pairs).select("doc_id", "group_id")
+    return dedup_keep_canonical(d, groups, score_col="n_chars")
 
 
 def q_sample_split(spark, sf_dir):
@@ -4385,12 +4419,13 @@ QUERIES = {
     "embedding_near_dups_bf": (q_embedding_near_dups_bf, SQL_NEAR_DUPS),
     "trouble_match_daily": (q_trouble_match_daily, SQL_TROUBLE),
     "customers_without_orders": (q_customers_without_orders, SQL_NO_ORDERS),
-    # new in round 5 (never driver-checked, exact oracle)
+    # new in round 5 (never driver-checked, exact oracles)
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
+    "dedup_keep_canonical": (q_dedup_keep_canonical, SQL_DEDUP_KEEP_CANONICAL),
     # never-driver-checked rows-only entries
     "semantic_dedup_ivf": (q_semantic_dedup_ivf, None),
-    "kmeans_daily": (q_kmeans_daily, None),
     # ------------------------------------------------------------------ 50 --
+    "kmeans_daily": (q_kmeans_daily, None),
     "anomaly_iforest": (q_anomaly_iforest, None),
     "ivf_topk": (q_ivf_topk, None),
     "pc_depth2_daily": (q_pc_depth2_daily, None),

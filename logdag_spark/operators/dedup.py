@@ -472,6 +472,48 @@ def near_dup_groups(
     )
 
 
+def dedup_keep_canonical(
+    docs: DataFrame,
+    groups: DataFrame,
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Terminal dedup verdict: per-document keep/drop over the whole
+    corpus, given the dup groups from :func:`near_dup_groups` (or the
+    exact-hash groups).  A document is kept when it is in no group, or
+    when it is its group's canonical member — the HIGHEST-``score_col``
+    member (ties to the smallest id), the "keep the longest/best copy"
+    rule a training pipeline actually executes (min-id canonical keeps
+    an arbitrary copy; score-canonical keeps the most complete one —
+    e.g. the superset page of a quote chain).
+
+    Scale shape: the rank window partitions by ``group_id`` over the
+    GROUPS frame only (bounded by the dup-pair closure, orders of
+    magnitude smaller than the corpus — at 10^11 docs the grouped slice
+    is the few % of docs with a near-duplicate); the corpus-side cost is
+    one equi-join on the id.  Output: ``(id, group_id nullable, keep)``
+    for every input document.
+    """
+    g = groups.select(id_col, "group_id").join(
+        docs.select(id_col, F.col(score_col).alias("_score")), id_col
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("_score").desc(), F.col(id_col).asc()
+    )
+    can = g.withColumn("_rk", F.row_number().over(w))
+    return (
+        docs.select(id_col)
+        .join(
+            can.select(id_col, "group_id", (F.col("_rk") == 1).alias("_keep")),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col, "group_id", F.coalesce("_keep", F.lit(True)).alias("keep")
+        )
+    )
+
+
 # ----------------------------------------------------------------- simhash
 
 

@@ -126,6 +126,31 @@ def test_near_dup_groups_components(spark):
     }
 
 
+def test_dedup_keep_canonical_longest_wins(spark):
+    """Grouped docs keep exactly the highest-score member (doc_id
+    tiebreak); ungrouped docs are kept with NULL group_id."""
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (10, 5), (11, 9), (99, 1)],
+        "doc_id long, n_chars long",
+    )
+    groups = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, group_id long",
+    )
+    got = {
+        (r["doc_id"], r["group_id"], r["keep"])
+        for r in dedup.dedup_keep_canonical(docs, groups).collect()
+    }
+    assert got == {
+        (1, 1, False),     # score 10 loses to 30
+        (2, 1, True),      # score tie at 30 -> smaller id wins
+        (3, 1, False),
+        (10, 10, False),   # 5 < 9
+        (11, 10, True),
+        (99, None, True),  # in no group
+    }
+
+
 def test_simhash_exact_dups_zero_distance(spark, docs_with_dups):
     out = dedup.simhash_near_dups(docs_with_dups, max_hamming=0)
     got = {(r["id1"], r["id2"]) for r in out.collect()}
