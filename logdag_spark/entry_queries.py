@@ -4175,6 +4175,51 @@ FROM k ORDER BY doc_id
 """
 
 
+def q_budget_mix(spark, sf_dir):
+    """Token-budgeted mix assembly (sampling.budget_mix): 2000 tokens at
+    weights src0:3, src1:1, src2:1 -> per-source budgets 1200/400/400;
+    each source walked in the deterministic epoch-shuffle order, docs
+    kept only if they fit entirely; unweighted sources surface with
+    budget 0 and keep=false (nothing silently dropped)."""
+    from logdag_spark.operators.sampling import budget_mix
+
+    d = _load(spark, sf_dir, "documents")
+    return budget_mix(
+        d, total_budget=2000, weights={"src0": 3.0, "src1": 1.0, "src2": 1.0}
+    ).select(
+        "doc_id", "source", "n_tok", "epoch_rank", "tokens_before",
+        "budget", "keep",
+    )
+
+
+SQL_BUDGET_MIX = """
+WITH t AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9_'']+'),
+                         x -> x <> ''))::int AS n_tok,
+         ('0x' || substr(md5('23130:' || doc_id::varchar), 1, 15))::bigint
+             AS shuffle_key
+  FROM documents
+), r AS (
+  SELECT *, row_number() OVER (ORDER BY shuffle_key, doc_id)::bigint
+                AS epoch_rank
+  FROM t
+), p AS (
+  SELECT *, coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY epoch_rank
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint
+                AS tokens_before
+  FROM r
+), b AS (
+  SELECT * FROM (VALUES ('src0', 1200), ('src1', 400), ('src2', 400))
+      AS v(source, budget)
+)
+SELECT p.doc_id, p.source, p.n_tok, p.epoch_rank, p.tokens_before,
+       coalesce(b.budget, 0)::bigint AS budget,
+       (p.tokens_before + p.n_tok) <= coalesce(b.budget, 0) AS keep
+FROM p LEFT JOIN b USING (source)
+"""
+
+
 def q_source_token_kl(spark, sf_dir):
     """Per-source unigram-distribution drift vs the corpus
     (text.source_token_kl): KL with identical integer-count algebra on
@@ -4368,9 +4413,10 @@ QUERIES = {
     # the local replica gate in tests/test_entry.py); they lead the dict so
     # round 5's snapshot records them.  Positions 44-47 are the four entries
     # whose prior driver rows were vacuous 0-row matches, now planted with
-    # deterministic positives; 48-50 are never-checked rows-only entries.
-    # Previously driver-green entries follow — their oracles remain in the
-    # local replica gate every session.
+    # deterministic positives; 48-50 are the three operators new in round 5
+    # (exact oracles).  Never-checked rows-only entries and previously
+    # driver-green entries follow — their oracles remain in the local
+    # replica gate every session.
     "evdef_member_ops": (q_evdef_member_ops, SQL_EVDEF_MEMBER_OPS),
     "event_detail": (q_event_detail, SQL_EVENT_DETAIL),
     "eval_accuracy": (q_eval_accuracy, SQL_EVAL_ACCURACY),
@@ -4422,9 +4468,10 @@ QUERIES = {
     # new in round 5 (never driver-checked, exact oracles)
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "dedup_keep_canonical": (q_dedup_keep_canonical, SQL_DEDUP_KEEP_CANONICAL),
+    "budget_mix": (q_budget_mix, SQL_BUDGET_MIX),
+    # ------------------------------------------------------------------ 50 --
     # never-driver-checked rows-only entries
     "semantic_dedup_ivf": (q_semantic_dedup_ivf, None),
-    # ------------------------------------------------------------------ 50 --
     "kmeans_daily": (q_kmeans_daily, None),
     "anomaly_iforest": (q_anomaly_iforest, None),
     "ivf_topk": (q_ivf_topk, None),

@@ -323,3 +323,71 @@ def cap_per_group(
     return ranked.withColumn("keep", F.col("cap_rank") <= int(cap)).drop(
         "_cap_bucket"
     )
+
+
+def budget_mix(
+    df: DataFrame,
+    total_budget: int,
+    weights: dict[str, float],
+    n_tok_col: str | None = None,
+    col: str = "text",
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    salt: int = SALT_SHUFFLE,
+) -> DataFrame:
+    """Token-budgeted training-mix assembly: "``total_budget`` tokens at
+    these source weights" — the dataset-composition step that sits
+    between curation and packing.  Each source gets a budget of
+    ``floor(total_budget * w / sum(weights))`` tokens and is walked in
+    the deterministic epoch-shuffle order (:func:`shuffle_order`, so the
+    kept subset is an unbiased sample of the source, not its first
+    ids); a document is kept iff it fits ENTIRELY within its source's
+    remaining budget.  Sources absent from ``weights`` get budget 0 —
+    visible with ``keep = false``, nothing silently dropped.
+
+    Scale shape: budget normalization is driver arithmetic on the tiny
+    weights dict; the shuffle rank and the per-source running token
+    total are both two-pass shard machinery
+    (:func:`~logdag_spark.operators.scan.partitioned_prefix_sum` over
+    ``epoch_rank`` — unique per row, so the prefix sum is well-defined
+    even on md5-key ties), never a corpus-wide window; budgets join
+    broadcast.
+
+    Output: input columns + ``n_tok`` (when derived) + ``shuffle_key``
+    + ``epoch_rank`` + ``tokens_before`` (exclusive per-source running
+    total in shuffle order) + ``budget`` + ``keep``.
+    """
+    from logdag_spark.operators.scan import partitioned_prefix_sum
+    from logdag_spark.operators.text import token_count
+
+    if total_budget < 0:
+        raise ValueError(f"total_budget must be >= 0, got {total_budget}")
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be a non-empty {source: w >= 0} dict")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum > 0")
+    budgets = [
+        (s, int(total_budget * w / wsum)) for s, w in sorted(weights.items())
+    ]
+    if n_tok_col is None:
+        df = df.withColumn("n_tok", token_count(col))
+        n_tok_col = "n_tok"
+    ordered = shuffle_order(df, id_col=id_col, salt=salt)
+    pref = partitioned_prefix_sum(
+        ordered,
+        n_tok_col,
+        "epoch_rank",
+        part_cols=(part_col,),
+        out_col="tokens_before",
+    )
+    spark = df.sparkSession
+    bdf = spark.createDataFrame(budgets, f"{part_col} string, budget long")
+    return (
+        pref.join(F.broadcast(bdf), part_col, "left")
+        .withColumn("budget", F.coalesce("budget", F.lit(0)))
+        .withColumn(
+            "keep",
+            (F.col("tokens_before") + F.col(n_tok_col)) <= F.col("budget"),
+        )
+    )

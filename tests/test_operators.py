@@ -854,6 +854,39 @@ def test_shuffle_order_is_a_permutation_and_salt_sensitive(spark):
         shuffle_order(df.withColumn("epoch_rank", F.lit(1)))
 
 
+def test_budget_mix_per_source_budgets_and_order(spark):
+    """Per-source budgets follow the weights; within a source the kept
+    set is exactly the shuffle-order prefix that fits; unweighted
+    sources surface with budget 0 and keep=false."""
+    from logdag_spark.operators.sampling import budget_mix
+
+    rows = [(i, "a " * 10, "s0") for i in range(10)]          # 10 tok each
+    rows += [(100 + i, "b " * 10, "s1") for i in range(10)]
+    rows += [(200 + i, "c " * 10, "s2") for i in range(5)]    # unweighted
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = budget_mix(df, total_budget=80, weights={"s0": 3.0, "s1": 1.0})
+    got = out.collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r)
+    # budgets: s0 = 80*3/4 = 60 -> 6 docs; s1 = 20 -> 2 docs; s2 = 0
+    assert all(r["budget"] == 60 for r in by_src["s0"])
+    assert all(r["budget"] == 20 for r in by_src["s1"])
+    assert all(r["budget"] == 0 and not r["keep"] for r in by_src["s2"])
+    assert sum(r["keep"] for r in by_src["s0"]) == 6
+    assert sum(r["keep"] for r in by_src["s1"]) == 2
+    # kept = exactly the epoch_rank-smallest docs of each source
+    for src, n in (("s0", 6), ("s1", 2)):
+        ordered = sorted(by_src[src], key=lambda r: r["epoch_rank"])
+        assert [r["keep"] for r in ordered] == [True] * n + [False] * (
+            len(ordered) - n
+        )
+    with pytest.raises(ValueError):
+        budget_mix(df, total_budget=-1, weights={"s0": 1.0})
+    with pytest.raises(ValueError):
+        budget_mix(df, total_budget=10, weights={})
+
+
 def test_lsh_to_containment_composition(spark):
     """The PRODUCTION containment path: minhash_lsh_candidates ->
     ngram_containment_pairs (the entry's all-pairs crossJoin is only the

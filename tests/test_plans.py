@@ -334,3 +334,60 @@ def test_shuffle_order_window_partitions_on_shard(spark):
     assert specs, f"no window spec found in plan:\n{plan[:2000]}"
     for spec in specs:
         assert "_shard" in spec, f"window not sharded: {spec}"
+
+
+def test_gopher_quality_no_window_no_udf(spark, sf001_dir):
+    """The Gopher gate is joins + aggregates only: no window function
+    (a per-doc row_number would be a corpus-wide funnel) and no Python
+    eval in the plan — every rule is a column expression."""
+    from logdag_spark.operators.curation import gopher_quality
+
+    d = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    plan = _plan(gopher_quality(d))
+    assert "Window" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan
+
+
+def test_dedup_keep_canonical_window_on_groups_only(spark):
+    """The canonical-pick window partitions by group_id over the sparse
+    groups frame — the corpus side contributes only an equi-join, never
+    a window partition keyed on the raw id."""
+    from logdag_spark.operators.dedup import dedup_keep_canonical
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97).alias("n_chars")
+    )
+    groups = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("group_id")
+    )
+    plan = _plan(dedup_keep_canonical(docs, groups))
+    plan_run = plan.split("== Initial Plan ==")[0]
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan_run)
+    assert specs, f"no window spec in plan:\n{plan_run[:2000]}"
+    for spec in specs:
+        assert "group_id" in spec.split(",")[0], f"window not on group_id: {spec}"
+
+
+def test_budget_mix_budgets_broadcast_and_sharded_windows(spark):
+    """The per-source budgets dim joins broadcast (never shuffles the
+    corpus by source for a 3-row dim) and every window in the plan is
+    shard-partitioned (the shuffle-rank and prefix-sum machinery)."""
+    from logdag_spark.operators.sampling import budget_mix
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("w x y z").alias("text"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    plan = _plan(budget_mix(df, total_budget=1000, weights={"s0": 1.0, "s1": 1.0}))
+    plan_run = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan_run or "BroadcastExchange" in plan_run
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan_run)
+    assert specs
+    for spec in specs:
+        assert "_shard" in spec, f"window not sharded: {spec}"
