@@ -61,10 +61,12 @@
     python -m logdag_spark pack-docs    --input DOCS_PARQUET [--capacity 512]
     python -m logdag_spark vocab        --input DOCS_PARQUET [--k 100]
     python -m logdag_spark curate-docs  --input PARQUET
-        [--method decontaminate|repetition|redact|semantic|dedup-spans]
+        [--method decontaminate|repetition|redact|semantic|dedup-spans|
+                  gopher|dedup-canonical]
         [--benchmark EVAL_PARQUET] [--threshold 0.9] [--cluster-col label]
     python -m logdag_spark chunk-docs   --input DOCS_PARQUET [--capacity 512] [--overlap 0]
     python -m logdag_spark budget-docs  --input DOCS_PARQUET --budget N
+    python -m logdag_spark mix-docs     --input DOCS_PARQUET --budget N --weights src=w,src=w
 
 Every document command also accepts ``--checkpoint-table NAME`` to
 commit its result through the --warehouse Catalog (manifest-gated,
@@ -145,7 +147,11 @@ def _common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--overlap", type=int, default=0,
                    help="chunk-docs tokens shared between consecutive chunks")
     p.add_argument("--budget", type=int, default=None,
-                   help="budget-docs per-source token budget")
+                   help="budget-docs per-source token budget; mix-docs "
+                        "total token budget")
+    p.add_argument("--weights", default=None,
+                   help="mix-docs source weights as src=w,src=w "
+                        "(e.g. 'web=7,code=3')")
     p.add_argument("--checkpoint-table", default=None,
                    help="document commands: checkpoint the result into the "
                         "--warehouse Catalog under this table name "
@@ -194,7 +200,7 @@ def _common(p: argparse.ArgumentParser) -> None:
 
 _DOC_CMDS = frozenset({
     "dedup-docs", "ann-topk", "sample-docs", "pack-docs", "vocab",
-    "curate-docs", "chunk-docs", "budget-docs",
+    "curate-docs", "chunk-docs", "budget-docs", "mix-docs",
 })
 
 
@@ -225,7 +231,7 @@ def main(argv: list[str] | None = None) -> int:
         "reload-area",
         "dump-input", "lineage", "dedup-docs", "ann-topk",
         "sample-docs", "pack-docs", "vocab", "curate-docs",
-        "chunk-docs", "budget-docs",
+        "chunk-docs", "budget-docs", "mix-docs",
     ):
         _common(sub.add_parser(cmd))
     args = ap.parse_args(argv)
@@ -1069,12 +1075,13 @@ def main(argv: list[str] | None = None) -> int:
 
         method = args.method or "repetition"
         if method not in (
-            "decontaminate", "repetition", "redact", "semantic", "dedup-spans",
+            "decontaminate", "repetition", "redact", "semantic",
+            "dedup-spans", "gopher", "dedup-canonical",
         ):
             ap.error(
                 "curate-docs --method must be "
-                f"decontaminate|repetition|redact|semantic|dedup-spans, "
-                f"got {method!r}"
+                f"decontaminate|repetition|redact|semantic|dedup-spans|"
+                f"gopher|dedup-canonical, got {method!r}"
             )
         data = spark.read.parquet(args.input)
         if method == "decontaminate":
@@ -1088,6 +1095,30 @@ def main(argv: list[str] | None = None) -> int:
             out = curation.pii_redact(data)
         elif method == "dedup-spans":
             out = curation.remove_dup_spans(data, n=args.ngram)
+        elif method == "gopher":
+            out = curation.gopher_quality(data)
+        elif method == "dedup-canonical":
+            # production near-dup chain -> corpus-wide keep/drop verdict:
+            # LSH candidates, exact-Jaccard verification at --threshold,
+            # component closure, keep the longest member per group
+            from pyspark.sql import functions as F
+
+            from logdag_spark.operators import dedup as dd
+
+            cand = dd.minhash_lsh_candidates(data)
+            verified = dd.ngram_jaccard_pairs(data, cand).where(
+                F.col("jaccard") >= args.threshold
+            )
+            groups = dd.near_dup_groups(
+                verified.select("id1", "id2")
+            ).select("doc_id", "group_id")
+            score = "n_chars" if "n_chars" in data.columns else None
+            if score is None:
+                from logdag_spark.operators.text import token_count
+
+                data = data.withColumn("_score", token_count("text"))
+                score = "_score"
+            out = dd.dedup_keep_canonical(data, groups, score_col=score)
         else:  # semantic — input is an embeddings parquet
             out = curation.semantic_dedup(
                 data, threshold=args.threshold, cluster_col=args.cluster_col
@@ -1118,6 +1149,24 @@ def main(argv: list[str] | None = None) -> int:
         docs = spark.read.parquet(args.input)
         out = token_budget_filter(docs, budget=args.budget)
         out.show(20, truncate=False)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+    elif args.cmd == "mix-docs":
+        from logdag_spark.operators.sampling import budget_mix
+
+        if args.budget is None or not args.weights:
+            ap.error("mix-docs requires --budget and --weights src=w,src=w")
+        try:
+            weights = {
+                k.strip(): float(v)
+                for k, v in (pair.split("=", 1) for pair in args.weights.split(","))
+            }
+        except ValueError:
+            ap.error(f"cannot parse --weights {args.weights!r} as src=w,src=w")
+        docs = spark.read.parquet(args.input)
+        out = budget_mix(docs, total_budget=args.budget, weights=weights)
+        out.orderBy("epoch_rank").show(20, truncate=False)
         if args.out:
             out.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")

@@ -499,10 +499,42 @@ def test_curate_docs_commands(cli_run, spark, sf001_dir, tmp_path):
     assert {"n_tok", "n_removed", "cleaned"} <= set(got.columns)
     assert got.count() == spark.read.parquet(docs).count()
 
+    goph = str(tmp_path / "gopher.parquet")
+    assert cli_run("curate-docs", "--input", docs, "--method", "gopher",
+                   "--out", goph) == 0
+    got = spark.read.parquet(goph)
+    assert {"n_words", "mean_word_len", "stop_hits", "keep"} <= set(got.columns)
+    assert got.count() == spark.read.parquet(docs).count()
+
+    canon = str(tmp_path / "canon.parquet")
+    assert cli_run("curate-docs", "--input", docs, "--method", "dedup-canonical",
+                   "--threshold", "0.2", "--out", canon) == 0
+    got = spark.read.parquet(canon)
+    assert {"doc_id", "group_id", "keep"} == set(got.columns)
+    assert got.count() == spark.read.parquet(docs).count()
+
     with pytest.raises(SystemExit):
         cli_run("curate-docs", "--input", docs, "--method", "nope")
     with pytest.raises(SystemExit):
         cli_run("curate-docs", "--input", docs, "--method", "decontaminate")
+
+
+def test_mix_docs_command(cli_run, spark, sf001_dir, tmp_path):
+    """mix-docs assembles a token-budgeted weighted mix; malformed
+    weights and missing args fail loudly."""
+    docs = f"{sf001_dir}/documents.parquet"
+    out = str(tmp_path / "mix.parquet")
+    assert cli_run("mix-docs", "--input", docs, "--budget", "2000",
+                   "--weights", "src0=3,src1=1", "--out", out) == 0
+    got = spark.read.parquet(out)
+    assert {"epoch_rank", "tokens_before", "budget", "keep"} <= set(got.columns)
+    kept = got.where("keep").groupBy("source").count().collect()
+    assert {r["source"] for r in kept} == {"src0", "src1"}
+    with pytest.raises(SystemExit):
+        cli_run("mix-docs", "--input", docs, "--budget", "10")
+    with pytest.raises(SystemExit):
+        cli_run("mix-docs", "--input", docs, "--budget", "10",
+                "--weights", "oops")
 
 
 def test_chunk_and_budget_docs_commands(cli_run, spark, sf001_dir, tmp_path):
