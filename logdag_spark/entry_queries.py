@@ -3836,6 +3836,41 @@ FROM t LEFT JOIN sc USING (doc_id)
 """
 
 
+def q_embedding_covariance(spark, sf_dir):
+    """Exact integer covariance numerators of the quantized embedding
+    coordinates (similarity.embedding_covariance_frame): one shuffle-free
+    mapInPandas moments job, numerators n*S_ij - S_i*S_j over
+    floor(x*1000 + 0.5) — pure integer algebra on both engines; the
+    verification surface for the PCA moments path."""
+    from logdag_spark.operators.similarity import embedding_covariance_frame
+
+    e = _load(spark, sf_dir, "embeddings")
+    return embedding_covariance_frame(e, quantize=1000)
+
+
+SQL_EMBEDDING_COVARIANCE = """
+WITH e AS (
+  SELECT vec_id,
+         unnest(embedding) AS val,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM embeddings
+), q AS (
+  SELECT vec_id, (pos - 1)::int AS i,
+         floor(val::double * 1000 + 0.5)::bigint AS qv
+  FROM e
+), s AS (
+  SELECT i, sum(qv)::bigint AS si, count(*)::bigint AS n FROM q GROUP BY 1
+), x AS (
+  SELECT a.i AS i, b.i AS j, sum(a.qv * b.qv)::bigint AS sij
+  FROM q a JOIN q b USING (vec_id)
+  WHERE a.i <= b.i
+  GROUP BY 1, 2
+)
+SELECT x.i, x.j, (sa.n * x.sij - sa.si * sb.si)::bigint AS cov_num
+FROM x JOIN s sa ON sa.i = x.i JOIN s sb ON sb.i = x.j
+"""
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """Symmetric per-vector int8 quantization (operators/similarity.py
     quantize_embeddings); the code array rides as a CSV string so both
@@ -4413,10 +4448,11 @@ QUERIES = {
     # the local replica gate in tests/test_entry.py); they lead the dict so
     # round 5's snapshot records them.  Positions 44-47 are the four entries
     # whose prior driver rows were vacuous 0-row matches, now planted with
-    # deterministic positives; 48-50 are the three operators new in round 5
-    # (exact oracles).  Never-checked rows-only entries and previously
-    # driver-green entries follow — their oracles remain in the local
-    # replica gate every session.
+    # deterministic positives; 48 onward are the operators new in round 5
+    # (exact oracles — the driver's ~50-key prefix reaches the first three;
+    # the rest queue behind the never-checked backlog for the next round).
+    # Never-checked rows-only entries and previously driver-green entries
+    # follow — their oracles remain in the local replica gate every session.
     "evdef_member_ops": (q_evdef_member_ops, SQL_EVDEF_MEMBER_OPS),
     "event_detail": (q_event_detail, SQL_EVENT_DETAIL),
     "eval_accuracy": (q_eval_accuracy, SQL_EVAL_ACCURACY),
@@ -4469,6 +4505,7 @@ QUERIES = {
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "dedup_keep_canonical": (q_dedup_keep_canonical, SQL_DEDUP_KEEP_CANONICAL),
     "budget_mix": (q_budget_mix, SQL_BUDGET_MIX),
+    "embedding_covariance": (q_embedding_covariance, SQL_EMBEDDING_COVARIANCE),
     # ------------------------------------------------------------------ 50 --
     # never-driver-checked rows-only entries
     "semantic_dedup_ivf": (q_semantic_dedup_ivf, None),

@@ -527,3 +527,154 @@ def quantize_embeddings(
             ),
         )[0].alias("qvec"),
     )
+
+
+# --------------------------------------------------------------------- PCA
+
+
+def embedding_moments(
+    df: DataFrame, vec_col: str = "embedding", quantize: int | None = None
+):
+    """First and second raw moments of an embedding column in ONE
+    shuffle-free job: a ``mapInPandas`` kernel accumulates per-PARTITION
+    partials (count, sum vector, flattened X^T X) and emits one row per
+    partition — the driver combines ~|partitions| x (d + d^2) numbers,
+    the same bounded-collect convention as :func:`kmeans_centroids`'s
+    k x dim partials.  Returns ``(n, s, ss)``: row count, d-vector of
+    sums, d x d raw second-moment matrix.
+
+    ``quantize=q`` first maps every value to ``floor(x*q + 0.5)``
+    (round-half-up, reproducible in any SQL engine) and sums in EXACT
+    integer arithmetic (python ints driver-side) — the small-scale
+    verification harness for the covariance oracle.  ``None`` (default,
+    the production path) sums in float64.
+    """
+    dim = len(
+        df.select(F.col(vec_col).alias("_v")).first()["_v"]
+    )
+
+    def fn(batches):
+        n = 0
+        s = np.zeros(dim, dtype=np.float64 if quantize is None else np.int64)
+        ss = np.zeros((dim, dim), dtype=s.dtype)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            if quantize is not None:
+                m = np.floor(m * quantize + 0.5).astype(np.int64)
+            n += m.shape[0]
+            s += m.sum(axis=0)
+            ss += m.T @ m
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()]}
+            )
+
+    kind = "double" if quantize is None else "long"
+    parts = df.select(F.col(vec_col).alias("_v")).mapInPandas(
+        fn, f"n long, s array<{kind}>, ss array<{kind}>"
+    ).collect()
+    if not parts:
+        raise ValueError(f"embedding_moments: no rows in {vec_col!r}")
+    if quantize is None:
+        n = sum(r["n"] for r in parts)
+        s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
+        ss = np.sum([np.asarray(r["ss"]) for r in parts], axis=0).reshape(dim, dim)
+        return n, s, ss
+    # exact integer combine: python ints never overflow (int64 partials
+    # are exact per partition — |x|<=1-ish embeddings at q=1000 keep
+    # per-partition sums far inside 2^63; the DRIVER totals may not fit,
+    # hence python-int accumulation here)
+    n = sum(int(r["n"]) for r in parts)
+    s = [sum(int(r["s"][i]) for r in parts) for i in range(dim)]
+    ss = [
+        [sum(int(r["ss"][i * dim + j]) for r in parts) for j in range(dim)]
+        for i in range(dim)
+    ]
+    return n, s, ss
+
+
+def embedding_covariance_frame(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    quantize: int = 1000,
+) -> DataFrame:
+    """EXACT integer covariance numerators of the quantized embedding
+    coordinates: one row per (i, j), i <= j, with
+    ``cov_num = n * S_ij - S_i * S_j`` over ``floor(x*quantize + 0.5)``
+    values — pure integer algebra, so a SQL oracle reproduces it
+    bit-for-bit (the house convention for float-hostile oracles, same
+    as source_token_kl's integer counts).  The d x d frame is driver
+    materialized (d^2 rows — bounded like kmeans' k x dim partials).
+
+    This is the VERIFICATION surface for :func:`pca_project`'s moments;
+    production PCA uses the float64 path directly.  Raises if a
+    numerator exceeds int64 (can only happen at corpus scales where the
+    float path is the right tool anyway).
+    """
+    n, s, ss = embedding_moments(df, vec_col, quantize=quantize)
+    dim = len(s)
+    rows = []
+    for i in range(dim):
+        for j in range(i, dim):
+            v = n * ss[i][j] - s[i] * s[j]
+            if not (-(1 << 63) <= v < (1 << 63)):
+                raise ValueError(
+                    "covariance numerator exceeds int64 — use the float64 "
+                    "moments path at this scale"
+                )
+            rows.append((i, j, v))
+    spark = df.sparkSession
+    return spark.createDataFrame(rows, "i int, j int, cov_num long")
+
+
+def pca_project(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    center: bool = True,
+):
+    """Project embeddings onto their top-``k`` principal components —
+    the dimension-reduction step before ANN indexing / semantic dedup.
+
+    Plan shape: one shuffle-free moments job (:func:`embedding_moments`),
+    a d x d eigendecomposition on the DRIVER (d is the embedding width —
+    64..4096 — never corpus-sized), then one narrow Arrow-batched
+    projection pass ``(x - mean) @ W`` — no shuffle anywhere.
+    Components are deterministic: eigenvalues descending, each
+    eigenvector's largest-|coordinate| made positive (eigh's sign is
+    otherwise arbitrary).
+
+    Returns ``(projected_df, components, eigenvalues)`` where
+    ``projected_df`` is (id_col, proj array<float>), ``components`` is
+    the d x k float64 matrix, ``eigenvalues`` the top-k variances.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    n, s, ss = embedding_moments(df, vec_col)
+    dim = len(s)
+    if not 1 <= k <= dim:
+        raise ValueError(f"k must be in [1, {dim}], got {k}")
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    W = evecs[:, order]
+    # deterministic sign: largest-|coord| of each component positive
+    flips = np.sign(W[np.abs(W).argmax(axis=0), np.arange(k)])
+    flips[flips == 0] = 1.0
+    W = W * flips
+    top = evals[order]
+    mu = mean if center else np.zeros_like(mean)
+
+    @pandas_udf(T.ArrayType(T.FloatType()))
+    def _proj(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        p = (m - mu) @ W
+        return pd.Series(list(p.astype(np.float32)))
+
+    out = df.select(F.col(id_col), _proj(F.col(vec_col)).alias("proj"))
+    return out, W, top

@@ -214,6 +214,54 @@ def test_lsh_topk_runs_on_real_embeddings(spark, sf01_dir):
     assert ann.count() >= 0  # weakly-similar corpus: plumbing check only
 
 
+def test_pca_project_matches_numpy_and_is_deterministic(spark, sf01_dir):
+    """pca_project's moments, components and projection must agree with
+    a single-node numpy PCA on the same data; components orthonormal,
+    eigenvalues descending, sign convention deterministic."""
+    import numpy as np
+
+    e = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    out, W, evals = similarity.pca_project(e, k=8)
+    # numpy reference
+    pdf = e.toPandas()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mu = X.mean(axis=0)
+    cov = (X - mu).T @ (X - mu) / X.shape[0]
+    ev, evec = np.linalg.eigh(cov)
+    order = np.argsort(ev)[::-1][:8]
+    Wref = evec[:, order]
+    flips = np.sign(Wref[np.abs(Wref).argmax(axis=0), np.arange(8)])
+    flips[flips == 0] = 1.0
+    Wref = Wref * flips
+    assert np.allclose(evals, ev[order], rtol=1e-8)
+    assert np.allclose(W, Wref, atol=1e-8)
+    assert np.allclose(W.T @ W, np.eye(8), atol=1e-9)  # orthonormal
+    assert (np.diff(evals) <= 1e-12).all()  # descending variance
+    got = {r["vec_id"]: np.asarray(r["proj"]) for r in out.collect()}
+    ref = (X - mu) @ Wref
+    ids = pdf["vec_id"].to_numpy()
+    stacked = np.stack([got[i] for i in ids])
+    assert np.allclose(stacked, ref, atol=1e-4)  # float32 projection
+    with pytest.raises(ValueError):
+        similarity.pca_project(e, k=0)
+
+
+def test_embedding_moments_quantized_exact(spark):
+    """Quantized moments are exact integers regardless of partitioning:
+    a known 3-vector corpus reproduces hand-computed sums at any
+    partition count."""
+    rows = [(1, [0.25, -0.5]), (2, [1.0, 0.0]), (3, [-0.75, 0.5])]
+    for parts in (1, 3):
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).repartition(parts)
+        n, s, ss = similarity.embedding_moments(df, quantize=1000)
+        assert n == 3
+        assert s == [250 + 1000 - 750, -500 + 0 + 500]
+        assert ss[0][0] == 250**2 + 1000**2 + 750**2
+        assert ss[0][1] == 250 * (-500) + 0 + (-750) * 500
+
+
 def test_cosine_matches_numpy(spark, sf01_dir):
     e = spark.read.parquet(f"{sf01_dir}/embeddings.parquet").limit(20).toPandas()
     sdf = spark.createDataFrame(e)
