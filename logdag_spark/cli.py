@@ -57,6 +57,7 @@
     python -m logdag_spark dedup-docs   --input DOCS_PARQUET [--method exact|minhash]
     python -m logdag_spark ann-topk     --input EMB_PARQUET [--method ivf|lsh|brute]
                                         [--k 10] [--queries Q_PARQUET]
+    python -m logdag_spark pca-embeddings --input EMB_PARQUET [--k 16]
     python -m logdag_spark sample-docs  --input DOCS_PARQUET [--method split|sample] [--rate 0.1]
     python -m logdag_spark pack-docs    --input DOCS_PARQUET [--capacity 512]
     python -m logdag_spark vocab        --input DOCS_PARQUET [--k 100]
@@ -199,7 +200,7 @@ def _common(p: argparse.ArgumentParser) -> None:
 
 
 _DOC_CMDS = frozenset({
-    "dedup-docs", "ann-topk", "sample-docs", "pack-docs", "vocab",
+    "dedup-docs", "ann-topk", "pca-embeddings", "sample-docs", "pack-docs", "vocab",
     "curate-docs", "chunk-docs", "budget-docs", "mix-docs",
 })
 
@@ -229,7 +230,7 @@ def main(argv: list[str] | None = None) -> int:
         "draw-graph-common", "draw-graph-diff",
         "list-trouble-label", "show-trouble-info", "show-match-diff",
         "reload-area",
-        "dump-input", "lineage", "dedup-docs", "ann-topk",
+        "dump-input", "lineage", "dedup-docs", "ann-topk", "pca-embeddings",
         "sample-docs", "pack-docs", "vocab", "curate-docs",
         "chunk-docs", "budget-docs", "mix-docs",
     ):
@@ -997,6 +998,17 @@ def main(argv: list[str] | None = None) -> int:
         else:
             out = dedup.minhash_lsh_candidates(docs)
         out.show(100, truncate=False)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+    elif args.cmd == "pca-embeddings":
+        from logdag_spark.operators.similarity import pca_project
+
+        k = args.k if args.k is not None else 16
+        emb = spark.read.parquet(args.input)
+        out, W, evals = pca_project(emb, k=k)
+        print("explained variances:", [round(float(v), 6) for v in evals])
+        out.show(10, truncate=False)
         if args.out:
             out.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")

@@ -117,6 +117,17 @@ def test_ann_topk_with_query_file(cli_run, spark, sf001_dir, tmp_path):
     ) == 0
 
 
+def test_pca_embeddings_command(cli_run, spark, sf001_dir, tmp_path):
+    emb = f"{sf001_dir}/embeddings.parquet"
+    out = str(tmp_path / "pca.parquet")
+    assert cli_run("pca-embeddings", "--input", emb, "--k", "8",
+                   "--out", out) == 0
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"vec_id", "proj"}
+    assert got.count() == spark.read.parquet(emb).count()
+    assert len(got.first()["proj"]) == 8
+
+
 def test_external_queries_keep_id_colliding_neighbors(spark, sf001_dir):
     """An external query file's ids are unrelated to corpus ids: a
     collision must NOT drop that corpus vector from the neighbor set
