@@ -1479,6 +1479,31 @@ SELECT token, n, rank FROM ranked WHERE rank <= 100
 """
 
 
+def q_corpus_report(spark, sf_dir):
+    """Dataset-card rollup (text.corpus_report): doc/token/char totals
+    at every (source, lang) granularity in one cube pass — exact
+    integer aggregates at all four grouping sets."""
+    from logdag_spark.operators.text import corpus_report
+
+    d = _load(spark, sf_dir, "documents")
+    return corpus_report(d)
+
+
+SQL_CORPUS_REPORT = """
+WITH t AS (
+  SELECT source, lang,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9_'']+'),
+                         x -> x <> ''))::bigint AS nt,
+         length(text)::bigint AS nc
+  FROM documents
+)
+SELECT source, lang, GROUPING(source, lang)::bigint AS gid,
+       count(*)::bigint AS n_docs, sum(nt)::bigint AS n_tokens,
+       sum(nc)::bigint AS n_chars, max(nt)::bigint AS max_tokens
+FROM t GROUP BY CUBE (source, lang)
+"""
+
+
 def q_doc_stats(spark, sf_dir):
     d = _load(spark, sf_dir, "documents")
     return d.groupBy("source", "lang").agg(
@@ -4506,6 +4531,7 @@ QUERIES = {
     "dedup_keep_canonical": (q_dedup_keep_canonical, SQL_DEDUP_KEEP_CANONICAL),
     "budget_mix": (q_budget_mix, SQL_BUDGET_MIX),
     "embedding_covariance": (q_embedding_covariance, SQL_EMBEDDING_COVARIANCE),
+    "corpus_report": (q_corpus_report, SQL_CORPUS_REPORT),
     # ------------------------------------------------------------------ 50 --
     # never-driver-checked rows-only entries
     "semantic_dedup_ivf": (q_semantic_dedup_ivf, None),

@@ -565,3 +565,33 @@ def vocab_topk(df: DataFrame, k: int = 100, col: str = "text") -> DataFrame:
     top = counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
     w = Window.orderBy(F.desc("n"), F.asc("token"))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def corpus_report(
+    df: DataFrame,
+    dims: tuple[str, ...] = ("source", "lang"),
+    col: str = "text",
+) -> DataFrame:
+    """Dataset-card rollup: doc / token / char totals at EVERY
+    granularity of ``dims`` in one pass — per (source, lang), per
+    source, per lang, and the corpus total — via ``cube`` (grouping
+    sets), the same one-shuffle multi-granularity shape as the DAG
+    side's A9 ``cube_stats``.  ``gid`` disambiguates a genuine NULL dim
+    value from a rollup row (Spark ``grouping_id`` = SQL GROUPING bit
+    mask, leftmost dim is the most significant bit).
+
+    All aggregates are exact integers (counts and sums — no averages),
+    so the SQL oracle matches bit-for-bit; consumers derive ratios.
+    """
+    toks = F.size(tokenize(col))
+    return (
+        df.withColumn("_nt", toks.cast("long"))
+        .cube(*[F.col(d) for d in dims])
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("n_tokens"),
+            F.sum(F.length(col).cast("long")).alias("n_chars"),
+            F.max("_nt").alias("max_tokens"),
+        )
+    )
