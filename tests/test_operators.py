@@ -933,6 +933,14 @@ def test_budget_mix_per_source_budgets_and_order(spark):
         budget_mix(df, total_budget=-1, weights={"s0": 1.0})
     with pytest.raises(ValueError):
         budget_mix(df, total_budget=10, weights={})
+    # partition-count invariance: the verdict is a pure function of the
+    # data (the determinism contract of the whole sampling surface)
+    base = sorted(map(tuple, got))
+    for parts in (1, 7):
+        again = budget_mix(
+            df.repartition(parts), total_budget=80, weights={"s0": 3.0, "s1": 1.0}
+        ).collect()
+        assert sorted(map(tuple, again)) == base
 
 
 def test_lsh_to_containment_composition(spark):
