@@ -391,3 +391,17 @@ def test_budget_mix_budgets_broadcast_and_sharded_windows(spark):
     assert specs
     for spec in specs:
         assert "_shard" in spec, f"window not sharded: {spec}"
+
+
+def test_corpus_report_single_shuffle_no_python(spark, sf001_dir):
+    """The dataset-card rollup is ONE cube aggregate: a single exchange
+    (partial aggregation map-side across all grouping sets), no window,
+    no Python eval."""
+    from logdag_spark.operators.text import corpus_report
+
+    d = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    plan = _plan(corpus_report(d))
+    assert _n_shuffles(plan) == 1, plan[:1500]
+    assert "Window" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
