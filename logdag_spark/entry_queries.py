@@ -10,6 +10,7 @@ Conventions for exact value-hash parity with the oracle:
 
 from __future__ import annotations
 
+import os
 from datetime import datetime, timedelta, timezone
 from statistics import NormalDist
 
@@ -37,21 +38,93 @@ TERM_S = int((T_END - T0).total_seconds())
 Z99 = NormalDist().inv_cdf(1 - 0.01 / 2)  # alpha = 0.01 two-sided
 
 
-def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _size_bytes(conf_val: str) -> int:
+    v = conf_val.strip().lower()
+    for suf, mult in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if v.endswith(suf):
+            return int(float(v[: -len(suf)])) * mult
+    return int(v)
+
+
+def _spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Redistribute an under-split compact table across the cluster.
+
+    The driver testdata files are written as a SINGLE parquet row group
+    per table: a scan cannot parallelize below row-group granularity, so
+    no matter how small ``spark.sql.files.maxPartitionBytes`` is, every
+    downstream explode / hash / join probe runs on one or two cores of
+    local[32] (measured: the 50k-doc tokenize+signature stages and the
+    20k-vector cosine probe each ran as 1-2 tasks at sf1).  This is the
+    guide §2.5 "one huge unsplittable file" input-skew case; the fix is
+    the one it prescribes — repartition immediately after the read.
+
+    Scale-adaptive, not local-tuned: acts only when the WHOLE table is
+    smaller than 2 MB x defaultParallelism (64 MB on local[32], ~2 GB on
+    a 1000-core cluster) AND its effective scan parallelism
+    (min(row groups, byte splits)) is below the cluster width.  A
+    properly laid-out corpus at scale has splits >> cores and is
+    returned untouched; a compact under-split table costs one shuffle of
+    itself — cents against the serialized alternative.
+
+    Opt-in PER QUERY (``_load(..., spread=True)``), never blanket:
+    repartitioning changes which rows aggregate together, so any
+    FLOAT partial-aggregate merge (sum/avg/corr of doubles) can round
+    differently — and the partition count is ``defaultParallelism``,
+    which differs between this repo's local[8] test replica and the
+    driver's harness, so a float-aggregating query could validate green
+    locally and still flip a 6-decimal oracle hash under the driver
+    (observed: one reordered sum_base_price rounding flip at sf0.01).
+    Only queries whose results are provably partition-order-independent
+    opt in: hash/count/min/max and exact-integer aggregates, or pure
+    per-row math (the dedup signature family, brute-force cosine)."""
+    p = spark.sparkContext.defaultParallelism
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return df
+    if size > 2 * (1 << 20) * p:
+        return df
+    try:
+        import pyarrow.parquet as pq
+
+        n_rg = pq.ParquetFile(path).metadata.num_row_groups
+    except Exception:
+        n_rg = 1
+    max_pb = _size_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    eff = min(n_rg, max(1, -(-size // max_pb)))
+    if eff >= p:
+        return df
+    return df.repartition(p)
+
+
+def _load(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     # duckdb-written parquet surfaces TIMESTAMP_NTZ; normalize to TIMESTAMP
     # (session TZ is UTC, so the wall-clock reading IS the UTC instant)
     for f_ in df.schema.fields:
         if f_.dataType.simpleString() == "timestamp_ntz":
             df = df.withColumn(f_.name, F.col(f_.name).cast("timestamp"))
+    if spread and os.path.isfile(path):
+        df = _spread(spark, df, path)
     return df
 
 
-def _events_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_routed(
+    spark: SparkSession, sf_dir: str, spread: bool = False
+) -> DataFrame:
     """events table in the routed-row shape (FIXTURES.md §4: user_id≈host,
-    event_type≈gid)."""
-    return _load(spark, sf_dir, "events").select(
+    event_type≈gid).
+
+    ``spread=True`` only for consumers whose aggregates are exact at any
+    partitioning (counts / integer-valued double sums ≤ 2^53) — see
+    :func:`_spread`."""
+    return _load(spark, sf_dir, "events", spread=spread).select(
         F.lit("ev").alias("measure"),
         F.col("user_id").cast("string").alias("host"),
         F.col("event_type").alias("key"),
@@ -69,7 +142,7 @@ def _bin_s(col: str = "bin") -> F.Column:
 
 def q_tumbling_count_1m(spark, sf_dir):
     b = discretize(
-        _events_routed(spark, sf_dir), RANGE, timedelta(minutes=1),
+        _events_routed(spark, sf_dir, spread=True), RANGE, timedelta(minutes=1),
         keys=("key",),
     )
     return b.select(
@@ -89,7 +162,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 def q_sliding_count_10m_5m(spark, sf_dir):
     b = discretize(
-        _events_routed(spark, sf_dir), RANGE, timedelta(minutes=10),
+        _events_routed(spark, sf_dir, spread=True), RANGE, timedelta(minutes=10),
         method="slide", bin_diff=timedelta(minutes=5), keys=("key",),
     )
     return b.select(
@@ -548,7 +621,10 @@ def _hourly_filled_sql() -> str:
 
 
 def _hourly_filled(spark, sf_dir) -> DataFrame:
-    b = discretize(_events_routed(spark, sf_dir), RANGE, timedelta(hours=1), keys=("key",))
+    b = discretize(
+        _events_routed(spark, sf_dir, spread=True), RANGE,
+        timedelta(hours=1), keys=("key",),
+    )
     # persisted: consumed on both sides of the pairwise self-join, and
     # Catalyst plans the aliases as independent full scans of the raw
     # events table (no exchange reuse, verified on the executed plan).
@@ -559,16 +635,45 @@ def _hourly_filled(spark, sf_dir) -> DataFrame:
     )
 
 
-def q_pairwise_corr_1h(spark, sf_dir):
-    filled = _hourly_filled(spark, sf_dir)
+def _pair_suff_stats(filled: DataFrame):
+    """Exact Pearson sufficient statistics per (type1 < type2) pair.
+
+    Replaces ``F.corr``: its Welford-style partials merge in partition
+    order, so the 6th rounded decimal could depend on the session's
+    core count (see ``_spread``).  The counts are integer-valued
+    doubles, so n/Σx/Σy/Σxy/Σx²/Σy² are EXACT at any partitioning
+    (≤ 2^53) and the per-pair scalar r is bit-deterministic — and the
+    hash aggregate is also cheaper than the imperative corr buffer."""
     a = filled.select(F.col("key").alias("type1"), "bin", F.col("cnt").alias("c1"))
     b = filled.select(F.col("key").alias("type2"), "bin", F.col("cnt").alias("c2"))
-    return (
+    stats = (
         a.join(b, "bin")
         .where(F.col("type1") < F.col("type2"))
         .groupBy("type1", "type2")
-        .agg(F.round(F.corr("c1", "c2"), 6).alias("r"))
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum("c1").alias("_sx"),
+            F.sum("c2").alias("_sy"),
+            F.sum(F.col("c1") * F.col("c2")).alias("_sxy"),
+            F.sum(F.col("c1") * F.col("c1")).alias("_sxx"),
+            F.sum(F.col("c2") * F.col("c2")).alias("_syy"),
+        )
+    )
+    n = F.col("_n").cast("double")
+    v1 = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    v2 = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    cov = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    r = F.when((v1 > 0) & (v2 > 0), cov / F.sqrt(v1 * v2))
+    return stats, r
+
+
+def q_pairwise_corr_1h(spark, sf_dir):
+    filled = _hourly_filled(spark, sf_dir)
+    stats, r = _pair_suff_stats(filled)
+    return (
+        stats.withColumn("r", F.round(r, 6))
         .where(F.col("r").isNotNull())
+        .select("type1", "type2", "r")
     )
 
 
@@ -586,15 +691,8 @@ GROUP BY 1, 2 HAVING corr(a.cnt, b.cnt) IS NOT NULL
 def q_fisherz_edges_1h(spark, sf_dir):
     filled = _hourly_filled(spark, sf_dir)
     n = TERM_S // 3600
-    a = filled.select(F.col("key").alias("type1"), "bin", F.col("cnt").alias("c1"))
-    b = filled.select(F.col("key").alias("type2"), "bin", F.col("cnt").alias("c2"))
-    pairs = (
-        a.join(b, "bin")
-        .where(F.col("type1") < F.col("type2"))
-        .groupBy("type1", "type2")
-        .agg(F.corr("c1", "c2").alias("_r"))
-        .where(F.col("_r").isNotNull())
-    )
+    stats, r = _pair_suff_stats(filled)
+    pairs = stats.withColumn("_r", r).where(F.col("_r").isNotNull())
     rc = F.least(F.greatest(F.col("_r"), F.lit(-1 + 1e-12)), F.lit(1 - 1e-12))
     z = 0.5 * F.log((1 + rc) / (1 - rc)) * F.sqrt(F.lit(float(n - 3)))
     return (
@@ -631,7 +729,7 @@ FROM zz WHERE abs(z) > {Z99!r}
 
 def _daily_edges(spark, sf_dir) -> DataFrame:
     """Per-day units: hourly-binned event_type series, Fisher-z edges."""
-    ev = _events_routed(spark, sf_dir)
+    ev = _events_routed(spark, sf_dir, spread=True)
     b = discretize(ev, RANGE, timedelta(hours=1), keys=("key",))
     day = F.date_format("bin", "yyyyMMdd").alias("unit")
     # persisted: three consumers (stats + both cross-term sides) would
@@ -1523,7 +1621,7 @@ FROM documents GROUP BY 1, 2
 
 
 def q_cosine_topk(spark, sf_dir):
-    e = _load(spark, sf_dir, "embeddings")
+    e = _load(spark, sf_dir, "embeddings", spread=True)
     queries = e.where(F.col("vec_id") < 20)
     out = brute_force_topk(e, queries, k=5)
     return out.select(
@@ -1654,14 +1752,14 @@ SELECT event_type, bin_s, unnest(range(1, cnt + 1))::int AS i FROM c
 def q_minhash_lsh_candidates(spark, sf_dir):
     from logdag_spark.operators.dedup import minhash_lsh_candidates
 
-    d = _load(spark, sf_dir, "documents")
+    d = _load(spark, sf_dir, "documents", spread=True)
     return minhash_lsh_candidates(d, "text", "doc_id", num_hashes=16, bands=8)
 
 
 def q_simhash_near_dups(spark, sf_dir):
     from logdag_spark.operators.dedup import simhash_near_dups
 
-    d = _load(spark, sf_dir, "documents")
+    d = _load(spark, sf_dir, "documents", spread=True)
     return simhash_near_dups(d, "text", "doc_id", max_hamming=8)
 
 
@@ -1679,7 +1777,7 @@ def q_ivf_topk(spark, sf_dir):
     (tests/test_operators.py::test_ivf_topk_recall_on_planted_clusters)."""
     from logdag_spark.operators.similarity import ivf_topk
 
-    e = _load(spark, sf_dir, "embeddings")
+    e = _load(spark, sf_dir, "embeddings", spread=True)
     q = e.where(F.col("vec_id") < 20)
     return ivf_topk(e, q, dim=64, k=5, n_clusters=16, n_probe=4)
 
@@ -3090,7 +3188,8 @@ def q_gsq_edges_1h(spark, sf_dir):
     from logdag_spark.pipeline.correlate import gsq_edges
 
     b = discretize(
-        _events_routed(spark, sf_dir), RANGE, timedelta(hours=1), keys=("key",)
+        _events_routed(spark, sf_dir, spread=True), RANGE,
+        timedelta(hours=1), keys=("key",),
     )
     mat = b.select(
         F.lit("all").alias("unit"),

@@ -178,9 +178,21 @@ def minhash_lsh_candidates(
     bounded, disk-spilling, and strictly cheaper than recomputation at
     any corpus size.  Callers doing repeated interactive runs can
     ``spark.catalog.clearCache()`` between them.
+
+    The banded frame is explicitly re-spread to ``defaultParallelism``
+    partitions before it is persisted: its BYTES are tiny (bands rows of
+    (id, band, bucket) per doc), so AQE's byte-based coalescing collapses
+    the signature aggregate to 1-2 post-shuffle partitions — but the
+    bucket join's probe side inherits the cache's partitioning, and the
+    join OUTPUT (candidate pairs, quadratic within buckets) is orders of
+    magnitude larger than its input.  Guide §2.5: partition for the work
+    produced, not the bytes consumed.  Measured at sf1 (50k docs,
+    local[32]): 6.1 s -> sub-second once the pair enumeration runs on
+    every core instead of two.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, col, id_col, k, num_hashes, hash_fn=hash_fn)
+    n_spread = df.sparkSession.sparkContext.defaultParallelism
 
     def bucket_of(b: int):
         cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -203,7 +215,7 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = banded.repartition(n_spread).persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -603,69 +615,142 @@ def simhash_near_dups(
     """Near-dup pairs with Hamming distance <= max_hamming — EXACT
     (recall 1.0 vs brute force, covered by tests).
 
-    Scale path: split the 64-bit signature into ``n_tables`` disjoint
-    slices and bucket-join on each; by pigeonhole a pair differing in at
-    most ``max_hamming`` bits matches at least one slice exactly iff
-    ``n_tables > max_hamming`` — so tables default to ``max_hamming + 1``
-    and an insufficient explicit value raises instead of silently losing
-    candidates.  Candidates verify with one ``bit_count``.
+    Scale path — GENERALIZED pigeonhole (HmSearch-style): split the
+    64-bit signature into ``n_tables`` disjoint slices with per-slice
+    error budget ``tol = max_hamming // n_tables``; a pair within
+    ``max_hamming`` total errors has some slice within ``tol`` errors
+    (always: n_tables * (tol + 1) > max_hamming), and a slice match
+    within tol is found EXACTLY ONCE by joining the smaller-id side's
+    <=tol-bit-flip VARIANTS of its slice value against the larger-id
+    side's exact value — the one variant that flips precisely the
+    differing bits.  ``tol = 0`` (n_tables > max_hamming) degenerates
+    to the classic exact-slice scheme.
 
-    The signature frame (one row per document, pre-explode) is persisted
-    before the self-join for the same reason as
-    :func:`minhash_lsh_candidates`: the two join aliases otherwise re-run
-    the tokenize->vote->signature pipeline twice (verified: two FileScans
-    in the executed plan, no exchange reuse).  Persisting the compact
-    pre-explode frame measured faster than caching the exploded slices
-    (columnar cache write of 1 row/doc, slice expansion stays in the
-    running stage): 3.0 -> 2.1 s warm at sf0.1 vs 3.9 s for the exploded
-    variant.
+    Why tolerant slices: narrow exact slices collide catastrophically
+    on clustered corpora.  At sf1 (50k template-generated docs,
+    max_hamming=8, 9.3M true pairs) the classic 9x7-bit scheme put 22k
+    docs in ONE bucket and enumerated 2.1B candidates (~100 ns each of
+    join machinery — 218 s of CPU) to keep 9.3M; 3x21-bit slices with
+    tol=2 enumerate 283M for the same exact result.  The default
+    ``n_tables = max(1, (max_hamming + 3) // 3)`` targets tol ~= 2 —
+    candidate volume shrinks with 2^width while the variant fan-out
+    (sum C(width, <=tol) ~ 700 rows/doc at tol 2) stays far below the
+    bucket quadratics it removes.  At 100 TB the trade reads: ~70x more
+    (tiny) probe rows through the bucket shuffle, quadratically fewer
+    generated candidate pairs out of it — and n_tables stays a knob.
+
+    The variant fan-out is a BROADCAST join against a <=2k-row
+    driver-built (slice, flip-mask) table, not a literal array explode:
+    a ~700-element struct-literal Generate blows the 8 KB JIT limit and
+    runs interpreted (measured 60+ s), while the mask join is a small
+    codegen'd BHJ.  The exact side is left to the planner: at bench
+    scale it auto-broadcasts (one row per doc per slice), at corpus
+    scale it becomes the shuffled side of a plain bucket join.
+
+    Cross-slice dedup is a FIRST-MATCHING-SLICE filter, not
+    distinct(): slice t emits a pair only when every earlier slice of
+    ``sig1 XOR sig2`` carries more than ``tol`` set bits (pure codegen
+    bit tests on the xor the hamming check already needs), so each
+    surviving pair appears exactly once and the distinct()'s shuffle of
+    every pre-dedup match (~48M rows at sf1 under the classic scheme)
+    disappears.
+
+    The signature frame (one row per document) is persisted before the
+    self-join — the two sides otherwise re-run the
+    tokenize->vote->signature pipeline twice — and is re-spread to
+    ``defaultParallelism`` partitions first: one row per doc is so
+    small that AQE's byte-based coalescing collapses it to 1-2
+    post-shuffle partitions, serializing the join probe whose OUTPUT is
+    quadratic within buckets (guide §2.5: partition for the work
+    produced, not the bytes consumed).
+
+    A numpy grouped-map kernel (bucket as XOR matrix, byte-LUT
+    popcount) was measured and REJECTED: JVM codegen handles a
+    candidate in ~85-100 ns (Long.bitCount is an intrinsic) vs
+    ~320 ns/cell in numpy, and per-bucket grouping serializes the
+    hottest bucket into one 72 s task where the join + AQE skew-split
+    spreads it.
     """
     if n_tables is None:
-        n_tables = max_hamming + 1
-    if n_tables <= max_hamming:
+        # aim for per-slice tolerance ~2: wide buckets (64/n bits)
+        # against a bounded variant fan-out (~width²/2 per slice)
+        n_tables = max(1, (max_hamming + 3) // 3)
+    if not 1 <= n_tables <= 64:
         raise ValueError(
-            f"pigeonhole needs n_tables > max_hamming "
-            f"(got {n_tables} <= {max_hamming}): distances "
-            f"{n_tables}..{max_hamming} would be silently incomplete"
+            f"n_tables must be in [1, 64], got {n_tables}"
         )
-    if n_tables > 64:
-        raise ValueError("at most 64 slices of a 64-bit signature")
+    tol = max_hamming // n_tables
     width = 64 // n_tables
 
-    def slice_expr(t: int):
-        start = t * width
-        w = width if t < n_tables - 1 else 64 - start
+    def slice_width(t: int) -> int:
+        return width if t < n_tables - 1 else 64 - t * width
+
+    def slice_of(c: Column, t: int) -> Column:
+        w = slice_width(t)
         mask = (1 << w) - 1 if w < 64 else -1
-        return (
-            F.shiftrightunsigned("_sig", start)
-            .bitwiseAND(F.lit(mask).cast("long"))
-            .alias("slice")
+        return F.shiftrightunsigned(c, t * width).bitwiseAND(
+            F.lit(mask).cast("long")
         )
 
-    sig = simhash_signatures(df, col, id_col, hash_fn=hash_fn).persist(
-        StorageLevel.MEMORY_AND_DISK
+    from itertools import combinations
+
+    mask_rows = [
+        (t, sum(1 << p for p in c))
+        for t in range(n_tables)
+        for r in range(tol + 1)
+        for c in combinations(range(slice_width(t)), r)
+    ]
+
+    sig = (
+        simhash_signatures(df, col, id_col, hash_fn=hash_fn)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    slices = sig.select(
+    exact = sig.select(
         "_id",
         "_sig",
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(t).alias("t"), slice_expr(t))
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        slice_of(F.col("_sig"), t).alias("slice"),
+                    )
                     for t in range(n_tables)
                 ]
             )
         ).alias("s"),
     ).select("_id", "_sig", "s.t", "s.slice")
-    a, b = slices.alias("a"), slices.alias("b")
+    if tol == 0:
+        variants = exact
+    else:
+        masks = F.broadcast(
+            df.sparkSession.createDataFrame(mask_rows, "t int, _m long")
+        )
+        variants = exact.join(masks, "t").select(
+            "_id",
+            "_sig",
+            "t",
+            F.col("slice").bitwiseXOR(F.col("_m")).alias("slice"),
+        )
+    a, b = variants.alias("a"), exact.alias("b")
+    xor = F.col("a._sig").bitwiseXOR(F.col("b._sig"))
+    # first-matching-slice predicate: slice t keeps a pair iff every
+    # earlier slice of the xor carries more than tol errors
+    first_match = F.lit(True)
+    for t in range(1, n_tables):
+        cond = F.lit(True)
+        for tp in range(t):
+            cond = cond & (F.bit_count(slice_of(xor, tp)) > tol)
+        first_match = F.when(F.col("t") == t, cond).otherwise(first_match)
     return (
         a.join(b, ["t", "slice"])
         .where(F.col("a._id") < F.col("b._id"))
-        .where(hamming64(F.col("a._sig"), F.col("b._sig")) <= max_hamming)
+        .where(F.bit_count(xor) <= max_hamming)
+        .where(first_match)
         .select(
             F.col("a._id").alias("id1"),
             F.col("b._id").alias("id2"),
-            hamming64(F.col("a._sig"), F.col("b._sig")).alias("hamming"),
+            F.bit_count(xor).alias("hamming"),
         )
-        .distinct()
     )

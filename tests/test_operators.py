@@ -533,8 +533,26 @@ def test_simhash_recall_exact_vs_bruteforce(spark, docs_with_dups):
         .collect()
     }
     assert got == want
-    with pytest.raises(ValueError, match="pigeonhole"):
-        dedup.simhash_near_dups(docs_with_dups, max_hamming=8, n_tables=4)
+    # generalized pigeonhole (r6): n_tables <= max_hamming is now VALID —
+    # the per-slice tolerance max_hamming // n_tables covers the budget
+    # (n_tables * (tol+1) > max_hamming always); recall must stay exact
+    got4 = {
+        (r["id1"], r["id2"])
+        for r in dedup.simhash_near_dups(
+            docs_with_dups, max_hamming=max_h, n_tables=4
+        ).collect()
+    }
+    assert got4 == want
+    # tol = 0 degenerate path (n_tables > max_hamming) must agree too
+    got9 = {
+        (r["id1"], r["id2"])
+        for r in dedup.simhash_near_dups(
+            docs_with_dups, max_hamming=max_h, n_tables=9
+        ).collect()
+    }
+    assert got9 == want
+    with pytest.raises(ValueError, match="n_tables"):
+        dedup.simhash_near_dups(docs_with_dups, max_hamming=8, n_tables=0)
 
 
 def test_ivf_topk_recall_on_planted_clusters(spark, clustered_vecs):
