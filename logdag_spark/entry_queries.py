@@ -121,9 +121,12 @@ def _events_routed(
     """events table in the routed-row shape (FIXTURES.md §4: user_id≈host,
     event_type≈gid).
 
-    ``spread=True`` only for consumers whose aggregates are exact at any
-    partitioning (counts / integer-valued double sums ≤ 2^53) — see
-    :func:`_spread`."""
+    ``spread`` would be order-safe here (all consumers aggregate exact
+    counts), but it is measured OFF: the count queries' downstream work
+    per row is one hash-agg update, and the 1-task serial shuffle write
+    of the spread costs more than the parallelism it buys (tumbling
+    0.93 -> 1.74 s at sf1).  Spread pays on explode/probe-heavy
+    consumers (documents, embeddings), not plain aggregates."""
     return _load(spark, sf_dir, "events", spread=spread).select(
         F.lit("ev").alias("measure"),
         F.col("user_id").cast("string").alias("host"),
@@ -142,7 +145,7 @@ def _bin_s(col: str = "bin") -> F.Column:
 
 def q_tumbling_count_1m(spark, sf_dir):
     b = discretize(
-        _events_routed(spark, sf_dir, spread=True), RANGE, timedelta(minutes=1),
+        _events_routed(spark, sf_dir), RANGE, timedelta(minutes=1),
         keys=("key",),
     )
     return b.select(
@@ -162,7 +165,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 def q_sliding_count_10m_5m(spark, sf_dir):
     b = discretize(
-        _events_routed(spark, sf_dir, spread=True), RANGE, timedelta(minutes=10),
+        _events_routed(spark, sf_dir), RANGE, timedelta(minutes=10),
         method="slide", bin_diff=timedelta(minutes=5), keys=("key",),
     )
     return b.select(
@@ -622,7 +625,7 @@ def _hourly_filled_sql() -> str:
 
 def _hourly_filled(spark, sf_dir) -> DataFrame:
     b = discretize(
-        _events_routed(spark, sf_dir, spread=True), RANGE,
+        _events_routed(spark, sf_dir), RANGE,
         timedelta(hours=1), keys=("key",),
     )
     # persisted: consumed on both sides of the pairwise self-join, and
@@ -729,7 +732,7 @@ FROM zz WHERE abs(z) > {Z99!r}
 
 def _daily_edges(spark, sf_dir) -> DataFrame:
     """Per-day units: hourly-binned event_type series, Fisher-z edges."""
-    ev = _events_routed(spark, sf_dir, spread=True)
+    ev = _events_routed(spark, sf_dir)
     b = discretize(ev, RANGE, timedelta(hours=1), keys=("key",))
     day = F.date_format("bin", "yyyyMMdd").alias("unit")
     # persisted: three consumers (stats + both cross-term sides) would
@@ -1777,7 +1780,12 @@ def q_ivf_topk(spark, sf_dir):
     (tests/test_operators.py::test_ivf_topk_recall_on_planted_clusters)."""
     from logdag_spark.operators.similarity import ivf_topk
 
-    e = _load(spark, sf_dir, "embeddings", spread=True)
+    # no _spread here (unlike cosine_topk): ivf is a chain of ~10 small
+    # sequential jobs (Lloyd iterations + assign/probe) whose wall is
+    # driver job latency, not task work — spreading was a wash at sf1
+    # (interleaved A/B 3.0 vs 3.05 s) and DOUBLED the query at sf0.1
+    # (1.6 -> 3.3 s: 32 near-empty tasks per iteration on 2k rows)
+    e = _load(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 20)
     return ivf_topk(e, q, dim=64, k=5, n_clusters=16, n_probe=4)
 
@@ -3188,7 +3196,7 @@ def q_gsq_edges_1h(spark, sf_dir):
     from logdag_spark.pipeline.correlate import gsq_edges
 
     b = discretize(
-        _events_routed(spark, sf_dir, spread=True), RANGE,
+        _events_routed(spark, sf_dir), RANGE,
         timedelta(hours=1), keys=("key",),
     )
     mat = b.select(
@@ -3969,7 +3977,9 @@ def q_embedding_covariance(spark, sf_dir):
     from logdag_spark.operators.similarity import embedding_covariance_frame
 
     e = _load(spark, sf_dir, "embeddings")
-    return embedding_covariance_frame(e, quantize=1000)
+    # dim=64 is the embeddings-table contract — skips the moments
+    # kernel's width-sniffing first() job (one job saved per call)
+    return embedding_covariance_frame(e, quantize=1000, dim=64)
 
 
 SQL_EMBEDDING_COVARIANCE = """

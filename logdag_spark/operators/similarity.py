@@ -533,7 +533,8 @@ def quantize_embeddings(
 
 
 def embedding_moments(
-    df: DataFrame, vec_col: str = "embedding", quantize: int | None = None
+    df: DataFrame, vec_col: str = "embedding", quantize: int | None = None,
+    dim: int | None = None,
 ):
     """First and second raw moments of an embedding column in ONE
     shuffle-free job: a ``mapInPandas`` kernel accumulates per-PARTITION
@@ -548,10 +549,15 @@ def embedding_moments(
     integer arithmetic (python ints driver-side) — the small-scale
     verification harness for the covariance oracle.  ``None`` (default,
     the production path) sums in float64.
+
+    ``dim`` skips the width-sniffing ``first()`` — that probe is a whole
+    extra Spark job per call when the caller already knows the embedding
+    width (every CLI/oracle entry does).
     """
-    dim = len(
-        df.select(F.col(vec_col).alias("_v")).first()["_v"]
-    )
+    if dim is None:
+        dim = len(
+            df.select(F.col(vec_col).alias("_v")).first()["_v"]
+        )
 
     def fn(batches):
         n = 0
@@ -599,6 +605,7 @@ def embedding_covariance_frame(
     df: DataFrame,
     vec_col: str = "embedding",
     quantize: int = 1000,
+    dim: int | None = None,
 ) -> DataFrame:
     """EXACT integer covariance numerators of the quantized embedding
     coordinates: one row per (i, j), i <= j, with
@@ -613,7 +620,7 @@ def embedding_covariance_frame(
     numerator exceeds int64 (can only happen at corpus scales where the
     float path is the right tool anyway).
     """
-    n, s, ss = embedding_moments(df, vec_col, quantize=quantize)
+    n, s, ss = embedding_moments(df, vec_col, quantize=quantize, dim=dim)
     dim = len(s)
     rows = []
     for i in range(dim):
@@ -635,6 +642,7 @@ def pca_project(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     center: bool = True,
+    dim: int | None = None,
 ):
     """Project embeddings onto their top-``k`` principal components —
     the dimension-reduction step before ANN indexing / semantic dedup.
@@ -654,7 +662,7 @@ def pca_project(
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql import types as T
 
-    n, s, ss = embedding_moments(df, vec_col)
+    n, s, ss = embedding_moments(df, vec_col, dim=dim)
     dim = len(s)
     if not 1 <= k <= dim:
         raise ValueError(f"k must be in [1, {dim}], got {k}")
