@@ -1003,3 +1003,26 @@ def test_lsh_to_containment_composition(spark):
     jac = dedup.ngram_jaccard_pairs(df, cand).where(F.col("jaccard") >= 0.9)
     jac_pairs = {(r["id1"], r["id2"]) for r in jac.collect()}
     assert not (jac_pairs & set(planted))
+
+
+def test_tokenize_edge_semantics(spark):
+    """The r6 regexp_extract_all tokenizer must keep the split+filter
+    contract exactly: lowercased maximal [a-z0-9_'] runs; empty and
+    pure-delimiter text give [], NULL gives NULL, and an interior
+    apostrophe/underscore stays inside its token."""
+    from logdag_spark.operators.text import tokenize
+
+    rows = [
+        ("a", "Hello, World_2! it's X--y"),
+        ("b", ""),
+        ("c", "!!! ... ---"),
+        ("d", None),
+        ("e", "  leading and trailing  "),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    got = {r["id"]: r["t"] for r in df.select("id", tokenize("text").alias("t")).collect()}
+    assert got["a"] == ["hello", "world_2", "it's", "x", "y"]
+    assert got["b"] == []
+    assert got["c"] == []
+    assert got["d"] is None
+    assert got["e"] == ["leading", "and", "trailing"]
