@@ -187,8 +187,9 @@ def minhash_lsh_candidates(
     join OUTPUT (candidate pairs, quadratic within buckets) is orders of
     magnitude larger than its input.  Guide §2.5: partition for the work
     produced, not the bytes consumed.  Measured at sf1 (50k docs,
-    local[32]): 6.1 s -> sub-second once the pair enumeration runs on
-    every core instead of two.
+    local[32]): the full query went 6.1 s -> ~2 s once the pair
+    enumeration ran on every core instead of two (the join segment
+    itself is sub-second; the rest is signatures).
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, col, id_col, k, num_hashes, hash_fn=hash_fn)
